@@ -1,0 +1,285 @@
+"""Static-shape graph container and host-side graph builders.
+
+TPU-first design notes
+----------------------
+XLA compiles one program per shape, so the graph is stored with *padded,
+static* shapes: the edge list is padded to a multiple of ``pad_multiple`` and
+padding edges carry ``edge_weight == 0`` (they point at the last node so the
+edge list stays sorted by destination). All hot ops treat edge weight 0 as
+"no edge", which makes padding, DropEdge-style edge masking and isolation
+crafting the *same* mechanism.
+
+Edges are kept twice, sorted by destination (for the forward SpMM
+``y[dst] += w * x[src]``) and sorted by source (the transposed view used by
+the SpMM backward pass). Both orders are built once on the host.
+
+Reference parity (semantics, not code):
+- edge utilities: ``/root/reference/utils.py:1119-1326`` (graphUtils)
+- symmetrize:     ``/root/reference/utils.py:667-674``  (A + A^T, coalesced)
+- loader pipeline symmetrize -> remove self loops -> add self loops:
+  ``/root/reference/trainer_node_classification.py:655-662``
+- degree semantics of the conv normalization (in/out degree of the directed
+  edge list, *including* self loops, clamped to >= 1):
+  ``/root/reference/GNN_model/GCN.py:205-213,242-250``
+- GCN normalization D^-1/2 (A+I) D^-1/2: ``/root/reference/utils.py:1225-1241``
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "senders",
+        "receivers",
+        "edge_weight",
+        "senders_t",
+        "receivers_t",
+        "edge_weight_t",
+        "deg_out",
+        "deg_in",
+        "dense_adj",
+    ],
+    meta_fields=["n_node", "n_edge"],
+)
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Immutable device-resident graph.
+
+    ``senders/receivers/edge_weight`` are sorted by ``receivers`` (dst-major).
+    ``*_t`` holds the reversed edges (senders_t = original receivers' role
+    swap) sorted by ``receivers_t``, i.e. the ready-to-run forward edge list
+    of A^T. ``n_edge`` is the true (unpadded) edge count; arrays have length
+    ``E_pad >= n_edge``.
+
+    ``dense_adj`` is an optional [N, N] dense materialization ``A[dst, src] =
+    w`` used on small graphs where a single MXU matmul beats any sparse
+    gather (see ops/spmm.py); ``None`` for large graphs.
+    """
+
+    senders: jax.Array
+    receivers: jax.Array
+    edge_weight: jax.Array
+    senders_t: jax.Array
+    receivers_t: jax.Array
+    edge_weight_t: jax.Array
+    deg_out: jax.Array  # [N] float32, includes self loops and duplicates
+    deg_in: jax.Array  # [N] float32
+    dense_adj: Optional[jax.Array]
+    n_node: int
+    n_edge: int
+
+    @property
+    def e_pad(self) -> int:
+        return self.senders.shape[0]
+
+    def transpose(self) -> "Graph":
+        """The reversed-edge graph (dst-sorted view is the *_t arrays)."""
+        dense_t = None if self.dense_adj is None else self.dense_adj.T
+        return Graph(
+            senders=self.senders_t,
+            receivers=self.receivers_t,
+            edge_weight=self.edge_weight_t,
+            senders_t=self.senders,
+            receivers_t=self.receivers,
+            edge_weight_t=self.edge_weight,
+            deg_out=self.deg_in,
+            deg_in=self.deg_out,
+            dense_adj=dense_t,
+            n_node=self.n_node,
+            n_edge=self.n_edge,
+        )
+
+    def with_edge_weight(self, w: jax.Array, w_t: jax.Array) -> "Graph":
+        dense = None
+        if self.dense_adj is not None:
+            dense = _dense_from_coo_jnp(
+                self.senders, self.receivers, w, self.n_node
+            )
+        return dataclasses.replace(
+            self, edge_weight=w, edge_weight_t=w_t, dense_adj=dense
+        )
+
+
+def _dense_from_coo_jnp(senders, receivers, w, n_node):
+    dense = jnp.zeros((n_node, n_node), dtype=w.dtype)
+    return dense.at[receivers, senders].add(w)
+
+
+# ---------------------------------------------------------------------------
+# Host-side edge-index transforms (numpy; run once at data-load time)
+# ---------------------------------------------------------------------------
+
+
+def _as_np(edge_index) -> np.ndarray:
+    e = np.asarray(edge_index)
+    assert e.ndim == 2 and e.shape[0] == 2, f"edge_index shape {e.shape}"
+    return e.astype(np.int64)
+
+
+def coalesce(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    """Deduplicate edges, returning them sorted by (dst, src) (row-major on
+    dst to match the coalesced COO order of utils.py:667-674)."""
+    e = _as_np(edge_index)
+    keys = e[1] * n_node + e[0]
+    keys = np.unique(keys)
+    return np.stack([keys % n_node, keys // n_node])
+
+
+def symmetrize(edge_index: np.ndarray, n_node: Optional[int] = None) -> np.ndarray:
+    """A <- A + A^T with deduplication (utils.py:667-674 semantics)."""
+    e = _as_np(edge_index)
+    if n_node is None:
+        n_node = int(e.max()) + 1
+    both = np.concatenate([e, e[::-1]], axis=1)
+    return coalesce(both, n_node)
+
+
+def remove_self_loops(edge_index: np.ndarray) -> np.ndarray:
+    e = _as_np(edge_index)
+    return e[:, e[0] != e[1]]
+
+
+def add_self_loops(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    e = _as_np(edge_index)
+    loops = np.arange(n_node, dtype=np.int64)
+    return np.concatenate([e, np.stack([loops, loops])], axis=1)
+
+
+def standard_pipeline(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    """symmetrize -> remove self loops -> add self loops, the node-classification
+    loader pipeline of trainer_node_classification.py:655-662."""
+    e = symmetrize(edge_index, n_node)
+    e = remove_self_loops(e)
+    return add_self_loops(e, n_node)
+
+
+def degrees(edge_index: np.ndarray, n_node: int):
+    """(out_degree, in_degree) of the directed edge list, including self loops
+    and duplicates — matches dgl out_degrees/in_degrees used at
+    GNN_model/GCN.py:206,243 and graph_analyze at utils.py:300-334."""
+    e = _as_np(edge_index)
+    deg_out = np.bincount(e[0], minlength=n_node).astype(np.float32)
+    deg_in = np.bincount(e[1], minlength=n_node).astype(np.float32)
+    return deg_out, deg_in
+
+
+def gcn_norm_weights(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    """Edge weights of D^-1/2 (A) D^-1/2 over the *given* edges, where D is the
+    (in+out symmetric assumed) degree computed from the given edge list.
+
+    For the normalized adjacency of utils.py:1225-1241 pass an edge list that
+    already went through remove_self_loops+add_self_loops.
+    """
+    e = _as_np(edge_index)
+    deg = np.bincount(e[1], minlength=n_node).astype(np.float64)
+    dinv = np.where(deg > 0, deg ** -0.5, 0.0)
+    return (dinv[e[0]] * dinv[e[1]]).astype(np.float32)
+
+
+def build_graph(
+    edge_index: np.ndarray,
+    n_node: int,
+    edge_weight: Optional[np.ndarray] = None,
+    *,
+    pad_multiple: int = 128,
+    pad_to: Optional[int] = None,
+    dense_threshold: int = 8192,
+    with_dense: Optional[bool] = None,
+) -> Graph:
+    """Build the device Graph from a host edge list.
+
+    ``edge_weight=None`` means unit weights (plain adjacency; the GCN degree
+    normalization is applied *outside* the SpMM, see nn/gcn.py).
+
+    ``dense_threshold``: graphs with ``n_node <= dense_threshold`` also get a
+    dense [N, N] adjacency so the SpMM can run as one MXU matmul. Override
+    with ``with_dense``.
+    """
+    e = _as_np(edge_index)
+    n_edge = e.shape[1]
+    if edge_weight is None:
+        w = np.ones(n_edge, dtype=np.float32)
+    else:
+        w = np.asarray(edge_weight, dtype=np.float32)
+        assert w.shape == (n_edge,)
+
+    deg_out, deg_in = degrees(e, n_node)
+
+    e_pad = pad_to if pad_to is not None else max(round_up(max(n_edge, 1), pad_multiple), pad_multiple)
+    assert e_pad >= n_edge
+
+    def sorted_padded(src, dst, w, sort_by):
+        order = np.argsort(sort_by, kind="stable")
+        src, dst, w = src[order], dst[order], w[order]
+        pad = e_pad - n_edge
+        # Padding edges: (last_node -> last_node) with weight 0; keeps the
+        # dst-sorted order and contributes nothing to weighted aggregation.
+        src = np.concatenate([src, np.full(pad, n_node - 1, np.int64)])
+        dst = np.concatenate([dst, np.full(pad, n_node - 1, np.int64)])
+        w = np.concatenate([w, np.zeros(pad, np.float32)])
+        return (
+            jnp.asarray(src, jnp.int32),
+            jnp.asarray(dst, jnp.int32),
+            jnp.asarray(w, jnp.float32),
+        )
+
+    senders, receivers, ew = sorted_padded(e[0], e[1], w, e[1])
+    # transposed view: reversed edges sorted by their destination (= original
+    # senders)
+    senders_t, receivers_t, ew_t = sorted_padded(e[1], e[0], w, e[0])
+
+    if with_dense is None:
+        with_dense = n_node <= dense_threshold
+    dense = None
+    if with_dense:
+        dense_np = np.zeros((n_node, n_node), dtype=np.float32)
+        np.add.at(dense_np, (e[1], e[0]), w)
+        dense = jnp.asarray(dense_np)
+
+    return Graph(
+        senders=senders,
+        receivers=receivers,
+        edge_weight=ew,
+        senders_t=senders_t,
+        receivers_t=receivers_t,
+        edge_weight_t=ew_t,
+        deg_out=jnp.asarray(deg_out),
+        deg_in=jnp.asarray(deg_in),
+        dense_adj=dense,
+        n_node=n_node,
+        n_edge=n_edge,
+    )
+
+
+def subgraph_edges(
+    edge_index: np.ndarray,
+    subset: np.ndarray,
+    n_node: int,
+    relabel: bool = True,
+    edge_attr: Optional[np.ndarray] = None,
+):
+    """Crop edges to a node subset, optionally relabeling (utils.py:1250-1267)."""
+    e = _as_np(edge_index)
+    mask = np.zeros(n_node, dtype=bool)
+    mask[np.asarray(subset)] = True
+    emask = mask[e[0]] & mask[e[1]]
+    e = e[:, emask]
+    attr = None if edge_attr is None else np.asarray(edge_attr)[emask]
+    if relabel:
+        new_id = np.zeros(n_node, dtype=np.int64)
+        new_id[np.asarray(subset)] = np.arange(len(np.asarray(subset)))
+        e = new_id[e]
+    return e, attr

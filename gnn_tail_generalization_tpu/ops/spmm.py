@@ -1,0 +1,130 @@
+"""Sparse neighborhood aggregation (SpMM): ``y[dst] = sum_e w_e * x[src_e]``.
+
+This is THE hot op of the framework — the reference delegates it to DGL's
+CUDA ``update_all(copy_src, sum)`` (``/root/reference/GNN_model/GCN.py:238``)
+and to torch_sparse ``adj @ x`` in label propagation
+(``/root/reference/Label_propagation_model/outcome_correlation.py:139``).
+
+TPU-native design
+-----------------
+Three interchangeable execution paths behind one differentiable entry point:
+
+``dense``
+    For small graphs (N <= a few thousand — Cora/Citeseer/Pubmed territory)
+    the *fastest* TPU formulation is a single dense matmul on the MXU with a
+    pre-materialized [N, N] adjacency: 2708^2 x 64 is a ~1 GFLOP matmul that
+    the 128x128 systolic array eats in microseconds, with zero gather
+    irregularity. The memory cost (N^2 * 4B) is irrelevant at this scale.
+
+``gather``
+    For large graphs: gather rows by sender, scale by edge weight, and
+    ``segment_sum`` into receivers. Edges are pre-sorted by receiver
+    (graph/core.py) so the reduction is a sorted-segment sum, which XLA
+    lowers without a full scatter. HBM traffic ~ E * d * 4B per pass —
+    the bandwidth-bound speed-of-light for an unstructured gather.
+
+``pallas``
+    Fused gather+scale+accumulate kernel (ops/spmm_pallas.py) that turns the
+    segment reduction into an MXU matmul against an on-the-fly one-hot
+    segment matrix and avoids materializing the [E, d] gathered intermediate
+    in HBM.
+
+The VJP is the transposed-graph SpMM (dx = A^T dy), using the sender-sorted
+edge view built once at graph construction; the per-edge-weight cotangent is
+the SDDMM ``dw_e = dy[dst_e] . x[src_e]``.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.core import Graph
+
+Precision = jax.lax.Precision
+
+
+def _spmm_gather(senders, receivers, w, x, n_node):
+    gathered = x[senders] * w[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        gathered,
+        receivers,
+        num_segments=n_node,
+        indices_are_sorted=True,
+    )
+
+
+def _spmm_dense(dense_adj, x, precision):
+    return jnp.matmul(
+        dense_adj.astype(x.dtype), x, precision=precision
+    )
+
+
+def _spmm_impl(g: Graph, x, method: str, precision):
+    if method == "auto":
+        method = "dense" if g.dense_adj is not None else "gather"
+    if method == "dense":
+        assert g.dense_adj is not None, "graph built without dense_adj"
+        return _spmm_dense(g.dense_adj, x, precision)
+    if method == "gather":
+        return _spmm_gather(g.senders, g.receivers, g.edge_weight, x, g.n_node)
+    if method == "pallas":
+        from .spmm_pallas import spmm_pallas
+
+        return spmm_pallas(g, x)
+    raise ValueError(f"unknown spmm method {method!r}")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def spmm(g: Graph, x: jax.Array, method: str = "auto", precision=Precision.HIGHEST):
+    """y = A @ x with A[dst, src] = w_e. ``x``: [N, d] -> ``y``: [N, d]."""
+    return _spmm_impl(g, x, method, precision)
+
+
+def _spmm_fwd(g, x, method, precision):
+    return _spmm_impl(g, x, method, precision), (g, x)
+
+
+def _spmm_bwd(method, precision, res, dy):
+    g, x = res
+    dx = _spmm_impl(g.transpose(), dy, method, precision)
+    # Cotangent for the graph: only edge_weight can meaningfully carry grad
+    # (dw_e = dy[dst] . x[src], an SDDMM); index/degree arrays get zeros.
+    dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(
+        g.edge_weight.dtype
+    )
+    zero_like = lambda a: None if a is None else jnp.zeros_like(a)
+    dg = Graph(
+        senders=jnp.zeros_like(g.senders),
+        receivers=jnp.zeros_like(g.receivers),
+        edge_weight=dw,
+        senders_t=jnp.zeros_like(g.senders_t),
+        receivers_t=jnp.zeros_like(g.receivers_t),
+        edge_weight_t=jnp.zeros_like(g.edge_weight_t),
+        deg_out=jnp.zeros_like(g.deg_out),
+        deg_in=jnp.zeros_like(g.deg_in),
+        dense_adj=zero_like(g.dense_adj),
+        n_node=g.n_node,
+        n_edge=g.n_edge,
+    )
+    return dg, dx
+
+
+spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+def spmm_normalized(g: Graph, x, norm: str = "both", method: str = "auto"):
+    """DGL-style degree-normalized aggregation used by the GCN conv:
+    ``D_in^-1/2 A D_out^-1/2 x`` for 'both' (GNN_model/GCN.py:205-250),
+    degrees clamped to >= 1. 'left' / 'right' use 1/deg on one side."""
+    if norm in ("left", "both"):
+        d = jnp.clip(g.deg_out, 1.0, None)
+        scale = d**-0.5 if norm == "both" else 1.0 / d
+        x = x * scale[:, None].astype(x.dtype)
+    y = spmm(g, x, method)
+    if norm in ("right", "both"):
+        d = jnp.clip(g.deg_in, 1.0, None)
+        scale = d**-0.5 if norm == "both" else 1.0 / d
+        y = y * scale[:, None].astype(y.dtype)
+    return y

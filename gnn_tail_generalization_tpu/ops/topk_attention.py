@@ -1,0 +1,36 @@
+"""Batched latent-neighbor discovery (the Cold Brew "replacement" op).
+
+The reference loops over every node in Python, doing a (1 x se_dim) @
+(se_dim x N) matvec, argsort, top-K softmax and a tiny matmul per node
+(``/root/reference/MLP_model/__init__.py:143-156``) — its #2 hot spot.
+
+TPU-native formulation: ONE [B, se_dim] x [se_dim, N] MXU matmul for all
+scores, ``jax.lax.top_k`` for neighbor selection, masked softmax over the K
+selected scores, and a batched gather-weighted-sum — the Python loop
+collapses into four fused XLA ops.
+
+Semantics preserved exactly: softmax over the top-K *raw* scores, weighted
+sum of the corresponding teacher-SE rows, all detached from the gradient
+tape (the caller stops gradients).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def latent_neighbor_replace(
+    le_guess: jax.Array,  # [B, se_dim] student's guessed embedding
+    teacher_se: jax.Array,  # [N, se_dim] teacher embedding table
+    top_k: int,
+    precision=jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Virtual-neighborhood embedding per batch row (MLP_model/__init__.py:143-156).
+
+    Returns [B, se_dim]: softmax(top-K of le_guess @ SE^T) @ SE[selected].
+    """
+    scores = jnp.matmul(le_guess, teacher_se.T, precision=precision)  # [B, N]
+    top_scores, top_idx = jax.lax.top_k(scores, top_k)  # [B, K]
+    attn = jax.nn.softmax(top_scores, axis=-1)  # [B, K]
+    neigh = teacher_se[top_idx]  # [B, K, se_dim]
+    return jnp.einsum("bk,bkd->bd", attn, neigh, precision=precision)
