@@ -27,7 +27,7 @@ from typing import Optional, Tuple
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(frozen=True)
 class TeacherGNNConfig:
     """Derived teacher arch config (utils.py:595-624)."""
 
@@ -40,7 +40,7 @@ class TeacherGNNConfig:
     neurons_proj2linkp: Tuple[int, ...] = ()
 
 
-@dataclass
+@dataclass(frozen=True)
 class StudentBaseMLPConfig:
     """Derived student-MLP arch config (utils.py:627-638)."""
 
@@ -50,7 +50,7 @@ class StudentBaseMLPConfig:
     dim_model: int = -1
 
 
-@dataclass
+@dataclass(frozen=True)
 class PreStepConfig:
     """(base_options.py:360-363)"""
 
@@ -60,7 +60,7 @@ class PreStepConfig:
     pre_methods: str = "diffusion+spectral"
 
 
-@dataclass
+@dataclass(frozen=True)
 class MidStepConfig:
     """(base_options.py:365-367)"""
 
@@ -69,7 +69,7 @@ class MidStepConfig:
     num_layers: int = 3
 
 
-@dataclass
+@dataclass(frozen=True)
 class LPStepConfig:
     """(base_options.py:369-402)"""
 
@@ -91,7 +91,7 @@ class LPStepConfig:
 # ---------------------------------------------------------------------------
 
 
-@dataclass
+@dataclass(frozen=True)
 class Config:
     """Mirrors BaseOptions flags (base_options.py:17-139). Field names are
     kept identical to the reference flags so configs translate 1:1."""
@@ -238,13 +238,14 @@ def apply_dataset_presets(cfg: Config) -> Config:
 
 def apply_labprop_configs(cfg: Config) -> Config:
     """base_options.py:352-402 (set_labprop_configs)."""
-    lp = LPStepConfig()
+    kw = {}
     if cfg.LP__which_corr_and_DAD:
-        lp.A = cfg.LP__which_corr_and_DAD
+        kw["A"] = cfg.LP__which_corr_and_DAD
     if cfg.LP__num_propagations != -1:
-        lp.num_propagations = cfg.LP__num_propagations
+        kw["num_propagations"] = cfg.LP__num_propagations
     if cfg.LP__alpha != -1.0:
-        lp.alpha = cfg.LP__alpha
+        kw["alpha"] = cfg.LP__alpha
+    lp = LPStepConfig(**kw)
     return dataclasses.replace(
         cfg, preStep=PreStepConfig(), midStep=MidStepConfig(), lpStep=lp
     )

@@ -48,6 +48,7 @@ def round_up(x: int, m: int) -> int:
         "senders_t",
         "receivers_t",
         "edge_weight_t",
+        "t_from_fwd",
         "deg_out",
         "deg_in",
         "dense_adj",
@@ -75,6 +76,7 @@ class Graph:
     senders_t: jax.Array
     receivers_t: jax.Array
     edge_weight_t: jax.Array
+    t_from_fwd: jax.Array  # [E_pad] int32: edge_weight_t == edge_weight[t_from_fwd]
     deg_out: jax.Array  # [N] float32, includes self loops and duplicates
     deg_in: jax.Array  # [N] float32
     dense_adj: Optional[jax.Array]
@@ -88,6 +90,7 @@ class Graph:
     def transpose(self) -> "Graph":
         """The reversed-edge graph (dst-sorted view is the *_t arrays)."""
         dense_t = None if self.dense_adj is None else self.dense_adj.T
+        inv = jnp.argsort(self.t_from_fwd)
         return Graph(
             senders=self.senders_t,
             receivers=self.receivers_t,
@@ -95,6 +98,7 @@ class Graph:
             senders_t=self.senders,
             receivers_t=self.receivers,
             edge_weight_t=self.edge_weight,
+            t_from_fwd=inv,
             deg_out=self.deg_in,
             deg_in=self.deg_out,
             dense_adj=dense_t,
@@ -102,9 +106,17 @@ class Graph:
             n_edge=self.n_edge,
         )
 
-    def with_edge_weight(self, w: jax.Array, w_t: jax.Array) -> "Graph":
+    def with_edge_weight(
+        self, w: jax.Array, w_t: Optional[jax.Array] = None,
+        rebuild_dense: bool = False,
+    ) -> "Graph":
+        """Replace edge weights (dst-sorted order). ``w_t`` defaults to the
+        consistent permutation of ``w``. ``rebuild_dense=False`` drops the
+        dense materialization (auto SpMM then uses the gather path)."""
+        if w_t is None:
+            w_t = w[self.t_from_fwd]
         dense = None
-        if self.dense_adj is not None:
+        if rebuild_dense and self.dense_adj is not None:
             dense = _dense_from_coo_jnp(
                 self.senders, self.receivers, w, self.n_node
             )
@@ -221,8 +233,7 @@ def build_graph(
     e_pad = pad_to if pad_to is not None else max(round_up(max(n_edge, 1), pad_multiple), pad_multiple)
     assert e_pad >= n_edge
 
-    def sorted_padded(src, dst, w, sort_by):
-        order = np.argsort(sort_by, kind="stable")
+    def sorted_padded(src, dst, w, order):
         src, dst, w = src[order], dst[order], w[order]
         pad = e_pad - n_edge
         # Padding edges: (last_node -> last_node) with weight 0; keeps the
@@ -236,10 +247,18 @@ def build_graph(
             jnp.asarray(w, jnp.float32),
         )
 
-    senders, receivers, ew = sorted_padded(e[0], e[1], w, e[1])
+    order_f = np.argsort(e[1], kind="stable")
+    order_t = np.argsort(e[0], kind="stable")
+    senders, receivers, ew = sorted_padded(e[0], e[1], w, order_f)
     # transposed view: reversed edges sorted by their destination (= original
     # senders)
-    senders_t, receivers_t, ew_t = sorted_padded(e[1], e[0], w, e[0])
+    senders_t, receivers_t, ew_t = sorted_padded(e[1], e[0], w, order_t)
+    # permutation: edge_weight_t == edge_weight[t_from_fwd]
+    inv_order_f = np.empty(n_edge, dtype=np.int64)
+    inv_order_f[order_f] = np.arange(n_edge)
+    t_from_fwd = np.concatenate(
+        [inv_order_f[order_t], np.arange(n_edge, e_pad, dtype=np.int64)]
+    )
 
     if with_dense is None:
         with_dense = n_node <= dense_threshold
@@ -256,6 +275,7 @@ def build_graph(
         senders_t=senders_t,
         receivers_t=receivers_t,
         edge_weight_t=ew_t,
+        t_from_fwd=jnp.asarray(t_from_fwd, jnp.int32),
         deg_out=jnp.asarray(deg_out),
         deg_in=jnp.asarray(deg_in),
         dense_adj=dense,

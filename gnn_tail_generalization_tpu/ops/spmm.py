@@ -102,6 +102,7 @@ def _spmm_bwd(method, precision, res, dy):
         senders_t=jnp.zeros_like(g.senders_t),
         receivers_t=jnp.zeros_like(g.receivers_t),
         edge_weight_t=jnp.zeros_like(g.edge_weight_t),
+        t_from_fwd=jnp.zeros_like(g.t_from_fwd),
         deg_out=jnp.zeros_like(g.deg_out),
         deg_in=jnp.zeros_like(g.deg_in),
         dense_adj=zero_like(g.dense_adj),

@@ -1,0 +1,502 @@
+"""Jitted training loops: TeacherGNN, SEMLP (two-phase), students, pure LP.
+
+Reference parity: ``/root/reference/trainer_node_classification.py``
+- trainer.main dispatch (10-30)
+- train_teacherGNN (303-372) + run_trainSet/run_testSet (382-495):
+  full-graph epochs, NLL + se_reg * sum ||E^l||_F, head/tail/iso eval per
+  epoch, best-by-test checkpoint kept when training for SEMLP
+- train_seMLP_part1 (66-124): teacher best ckpt -> collect_SE targets ->
+  MSE on random 64k-with-replacement train batches
+- train_seMLP_part2 (126-207): CE on random batches (+ NContrastive *
+  graphMLP_reg for GraphMLP), head/tail/iso eval via forward on idx subsets
+- run_pureLP (33-63): DAD, alpha .5, 50 propagations from train labels
+
+TPU-first: each epoch is ONE jitted step (forward+backward+update+evals
+fused); batches are drawn inside jit with jax.random (uniform with
+replacement — np.random.choice(idx, B) semantics, main.py:93).
+PRNG-key discipline replaces the reference's global set_seed (main.py:40-52).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from ..data.datasets import PreparedData
+from ..models.semlp import (
+    GraphMLP,
+    SEMLPPart1,
+    SEMLPPart2,
+    neighbor_contrastive_loss,
+)
+from ..models.teacher import TeacherGNN, backbone_from_config
+from ..propagation import correlation as corr
+from .evalutil import headtail_accuracies, masked_accuracy
+from .optim import make_optimizer
+
+
+@dataclass
+class TrainResult:
+    columns: List[str]
+    records: np.ndarray  # [epochs, len(columns)]
+    variables: Any
+    best_variables: Any = None
+    extra: Dict[str, Any] = field(default_factory=dict)
+
+    def last(self, col: str) -> float:
+        return float(self.records[-1, self.columns.index(col)])
+
+    def best(self, col: str) -> float:
+        return float(self.records[:, self.columns.index(col)].max())
+
+
+def _split_masks(data: PreparedData):
+    train_mask = jnp.asarray(data.train_mask)
+    s = data.splits
+    large = jnp.asarray(s.large_deg_mask) if s else None
+    small = jnp.asarray(s.small_deg_mask) if s else None
+    zero = (
+        jnp.asarray(s.zero_deg_mask)
+        if (s and s.zero_deg_mask is not None)
+        else None
+    )
+    return train_mask, large, small, zero
+
+
+def _nll_masked(logits, y, mask):
+    lsm = jax.nn.log_softmax(logits, axis=1)
+    picked = jnp.take_along_axis(lsm, y[:, None], axis=1)[:, 0]
+    m = mask.astype(jnp.float32)
+    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+# ---------------------------------------------------------------------------
+# TeacherGNN
+# ---------------------------------------------------------------------------
+
+
+def train_teacher(
+    cfg: Config,
+    data: PreparedData,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    log_every: int = 0,
+) -> TrainResult:
+    epochs = epochs if epochs is not None else cfg.epochs
+    g = data.graph
+    x = jnp.asarray(data.x)
+    y = jnp.asarray(data.y)
+    train_mask, large, small, zero = _split_masks(data)
+
+    model = TeacherGNN(cfg)
+    root = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(root)
+    variables = model.init(
+        {"params": k_init, "dropout": k_init, "graph_dropout": k_init},
+        g, x, train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    want_ht = cfg.want_headtail and data.splits is not None
+
+    def loss_fn(params, batch_stats, rng):
+        vs = {"params": params}
+        if batch_stats is not None:
+            vs["batch_stats"] = batch_stats
+        rngs = {"dropout": rng, "graph_dropout": jax.random.fold_in(rng, 1)}
+        mutable = ["batch_stats"] if batch_stats is not None else []
+        out, new_vars = model.apply(
+            vs, g, x, train=True, rngs=rngs, mutable=mutable
+        )
+        _, classi, se_reg_all, _ = out
+        loss = _nll_masked(classi, y, train_mask) * cfg.TeacherGNN.lossa_semantic
+        if se_reg_all is not None:
+            loss = loss + cfg.se_reg * se_reg_all
+        new_bs = new_vars.get("batch_stats") if mutable else batch_stats
+        return loss, (new_bs,)
+
+    @jax.jit
+    def step(params, batch_stats, opt_state, rng):
+        (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        # eval-mode full forward (run_testSet, trainer:453-495)
+        vs = {"params": params}
+        if new_bs is not None:
+            vs["batch_stats"] = new_bs
+        _, classi, _, _ = model.apply(vs, g, x, train=False)
+        metrics = {
+            "loss_train": loss,
+            "acc_train": masked_accuracy(classi, y, train_mask) * 100.0,
+            "acc_test": masked_accuracy(classi, y, jnp.asarray(data.test_mask))
+            * 100.0,
+        }
+        if want_ht:
+            metrics.update(
+                headtail_accuracies(classi, y, train_mask, large, small, zero)
+            )
+        return params, new_bs, opt_state, metrics
+
+    cols = ["loss_train", "acc_train", "acc_test"] + (
+        ["head", "tail"] + (["iso"] if zero is not None else [])
+        if want_ht
+        else []
+    )
+    records = np.zeros((epochs, len(cols)), np.float64)
+    keep_best = "SEMLP" in cfg.train_which
+    best_acc, best_params, best_bs = -1.0, None, None
+
+    for epoch in range(epochs):
+        k_run, k = jax.random.split(k_run)
+        params, batch_stats, opt_state, metrics = step(
+            params, batch_stats, opt_state, k
+        )
+        row = [float(metrics[c]) for c in cols]
+        records[epoch] = row
+        acc_test = float(metrics["acc_test"])
+        if acc_test > best_acc:
+            best_acc = acc_test
+            if keep_best:
+                best_params = jax.tree.map(lambda a: a, params)
+                best_bs = batch_stats
+        if log_every and epoch % log_every == 0:
+            print(f"Ep{epoch:03d} " + " ".join(
+                f"{c}={records[epoch, i]:.2f}" for i, c in enumerate(cols)
+            ))
+
+    final_vars = {"params": params}
+    if batch_stats is not None:
+        final_vars["batch_stats"] = batch_stats
+    best_vars = None
+    if keep_best and best_params is not None:
+        best_vars = {"params": best_params}
+        if best_bs is not None:
+            best_vars["batch_stats"] = best_bs
+    return TrainResult(
+        columns=cols,
+        records=records,
+        variables=final_vars,
+        best_variables=best_vars or final_vars,
+        extra={"model": model, "best_acc_test": best_acc},
+    )
+
+
+def collect_teacher_se(cfg: Config, data: PreparedData, teacher_vars,
+                       rng=None) -> jax.Array:
+    """Teacher SE table = concat of per-layer embeddings on the full graph
+    (trainer:87, GCN.py:148-150). Deterministic by default; pass an rng with
+    cfg.bug_compat_part1_target_dropout for the reference's train-mode
+    sample."""
+    model = TeacherGNN(cfg)
+    x = jnp.asarray(data.x)
+    train = bool(cfg.bug_compat_part1_target_dropout)
+    rngs = {"dropout": rng} if (train and rng is not None) else None
+    _, _, _, les = model.apply(
+        teacher_vars, data.graph, x, train=train, want_les=True, rngs=rngs
+    )
+    return jax.lax.stop_gradient(les)
+
+
+# ---------------------------------------------------------------------------
+# SEMLP part 1: feature -> teacher SE regression
+# ---------------------------------------------------------------------------
+
+
+def train_semlp_part1(
+    cfg: Config,
+    data: PreparedData,
+    teacher_se: jax.Array,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    log_every: int = 0,
+) -> TrainResult:
+    epochs = epochs if epochs is not None else cfg.epochs
+    x = jnp.asarray(data.x)
+    train_idx = jnp.asarray(data.train_idx)
+    test_idx = jnp.asarray(data.test_idx)
+    bsz = min(cfg.batch_size, len(data.train_idx))  # clamp (MLP_model:61-63)
+
+    part1 = SEMLPPart1(cfg, se_dim=int(teacher_se.shape[-1]))
+    root = jax.random.PRNGKey(seed + 1)
+    k_init, k_run = jax.random.split(root)
+    params = part1.init(
+        {"params": k_init, "dropout": k_init}, x[:2], train=True
+    )["params"]
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    def sample(rng, idx):
+        return idx[jax.random.randint(rng, (bsz,), 0, idx.shape[0])]
+
+    @jax.jit
+    def step(params, opt_state, rng):
+        kb, kd, ke = jax.random.split(rng, 3)
+        bidx = sample(kb, train_idx)
+
+        def loss_fn(p):
+            out = part1.apply(
+                {"params": p}, x[bidx], train=True, rngs={"dropout": kd}
+            )
+            return jnp.mean((out - teacher_se[bidx]) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+
+        tidx = sample(ke, test_idx)
+        out_t = part1.apply({"params": params}, x[tidx], train=False)
+        loss_test = jnp.mean((out_t - teacher_se[tidx]) ** 2)
+        return params, opt_state, {"loss_train": loss, "loss_test": loss_test}
+
+    cols = ["loss_train", "loss_test"]
+    records = np.zeros((epochs, len(cols)), np.float64)
+    for epoch in range(epochs):
+        k_run, k = jax.random.split(k_run)
+        params, opt_state, m = step(params, opt_state, k)
+        records[epoch] = [float(m[c]) for c in cols]
+        if log_every and epoch % log_every == 0:
+            print(f"p1 Ep{epoch:03d} train/test mse "
+                  f"{records[epoch, 0]:.4f}/{records[epoch, 1]:.4f}")
+    return TrainResult(cols, records, {"params": params},
+                       extra={"model": part1})
+
+
+# ---------------------------------------------------------------------------
+# SEMLP part 2 / StudentBaseMLP / GraphMLP
+# ---------------------------------------------------------------------------
+
+
+def _dense_adj_pow(data: PreparedData, r: int) -> np.ndarray:
+    """GraphMLP's A_tilde^r as dense [N, N] (graphUtils.normalize_adj +
+    sparse_power, utils.py:1225-1248). Host-side scipy; requires moderate N."""
+    import scipy.sparse as sp
+
+    from ..graph.core import add_self_loops, remove_self_loops
+
+    e = remove_self_loops(data.edge_index)
+    e = add_self_loops(e, data.n_node)
+    n = data.n_node
+    a = sp.csr_matrix(
+        (np.ones(e.shape[1]), (e[0], e[1])), shape=(n, n)
+    )
+    d = np.asarray(a.sum(axis=1)).reshape(-1)
+    dinv = sp.diags(d**-0.5)
+    at = dinv @ a @ dinv
+    out = at
+    for _ in range(r - 1):
+        out = out @ at
+    return np.asarray(out.todense(), np.float32)
+
+
+def train_semlp_part2(
+    cfg: Config,
+    data: PreparedData,
+    teacher_se: Optional[jax.Array] = None,
+    part1_result: Optional[TrainResult] = None,
+    seed: int = 0,
+    epochs: Optional[int] = None,
+    log_every: int = 0,
+) -> TrainResult:
+    epochs = epochs if epochs is not None else cfg.epochs
+    x = jnp.asarray(data.x)
+    y = jnp.asarray(data.y)
+    train_idx = jnp.asarray(data.train_idx)
+    test_idx = jnp.asarray(data.test_idx)
+    train_mask = jnp.asarray(data.train_mask)
+    bsz = min(cfg.batch_size, len(data.train_idx))
+
+    is_graphmlp = cfg.train_which == "GraphMLP"
+    downgraded = cfg.SEMLP__downgrade_to_MLP or cfg.train_which in (
+        "StudentBaseMLP",
+        "GraphMLP",
+    )
+    if not downgraded:
+        assert teacher_se is not None and part1_result is not None
+        part1 = part1_result.extra["model"]
+        params1 = part1_result.variables["params"]
+        se_table = teacher_se
+    else:
+        part1, params1, se_table = None, None, jnp.zeros((1, 1))
+
+    adj_pow = None
+    if is_graphmlp:
+        adj_pow = jnp.asarray(_dense_adj_pow(data, cfg.graphMLP_r))
+
+    model = GraphMLP(cfg) if is_graphmlp else SEMLPPart2(cfg)
+    root = jax.random.PRNGKey(seed + 2)
+    k_init, k_run = jax.random.split(root)
+
+    def fwd(params2, xb, bidx, rng, train):
+        """Returns (logits, aux_loss)."""
+        rngs = {"dropout": rng} if train else None
+        if is_graphmlp:
+            logits, z = model.apply(
+                {"params": params2}, xb, train=train, rngs=rngs
+            )
+            crop = adj_pow[bidx][:, bidx]
+            nc = neighbor_contrastive_loss(z, crop, cfg.graphMLP_tau)
+            return logits, nc * cfg.graphMLP_reg
+        if part1 is not None:
+            # part 1 runs in train mode during part-2 training
+            # (module-level .train(), trainer:148-152); grads are stopped
+            # inside SEMLPPart2.
+            p1rng = {"dropout": jax.random.fold_in(rng, 7)} if train else None
+            p1 = part1.apply(
+                {"params": params1}, xb, train=train, rngs=p1rng
+            )
+        else:
+            p1 = jnp.zeros((xb.shape[0], 1))
+        logits = model.apply(
+            {"params": params2}, xb, p1, se_table, train=train, rngs=rngs
+        )
+        return logits, 0.0
+
+    dummy_rng = jax.random.PRNGKey(0)
+    params2 = None
+
+    def init_params(k):
+        xb = x[:2]
+        if is_graphmlp:
+            return model.init({"params": k, "dropout": k}, xb, train=True)[
+                "params"
+            ]
+        if part1 is not None:
+            p1 = part1.apply({"params": params1}, xb, train=False)
+        else:
+            p1 = jnp.zeros((2, 1))
+        return model.init(
+            {"params": k, "dropout": k}, xb, p1, se_table, train=True
+        )["params"]
+
+    params2 = init_params(k_init)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params2)
+
+    def sample(rng, idx):
+        return idx[jax.random.randint(rng, (bsz,), 0, idx.shape[0])]
+
+    want_ht = cfg.want_headtail and data.splits is not None
+    s = data.splits
+    large_idx = jnp.asarray(s.large_deg_idx) if want_ht else None
+    small_idx = jnp.asarray(s.small_deg_idx) if want_ht else None
+    zero_idx = (
+        jnp.asarray(s.zero_deg_idx)
+        if (want_ht and s.zero_deg_idx is not None)
+        else None
+    )
+
+    def subset_test_acc(params2, idx):
+        """forward on the subset, acc over its non-train part
+        (trainer:173-187, eval_headtail__traintest_v2)."""
+        logits, _ = fwd(params2, x[idx], idx, dummy_rng, train=False)
+        m = ~train_mask[idx]
+        pred = jnp.argmax(logits, axis=1)
+        corr_ = ((pred == y[idx]) & m).sum()
+        return corr_ / jnp.maximum(m.sum(), 1) * 100.0
+
+    @jax.jit
+    def step(params2, opt_state, rng):
+        kb, kd, ke = jax.random.split(rng, 3)
+        bidx = sample(kb, train_idx)
+        xb = x[bidx]
+
+        def loss_fn(p2):
+            logits, aux = fwd(p2, xb, bidx, kd, train=True)
+            lsm = jax.nn.log_softmax(logits, axis=1)
+            ce = -jnp.mean(
+                jnp.take_along_axis(lsm, y[bidx][:, None], axis=1)
+            )
+            return ce + aux
+
+        loss, grads = jax.value_and_grad(loss_fn)(params2)
+        updates, opt_state = tx.update(grads, opt_state, params2)
+        params2 = jax.tree.map(lambda p, u: p + u, params2, updates)
+
+        tidx = sample(ke, test_idx)
+        logits_t, _ = fwd(params2, x[tidx], tidx, dummy_rng, train=False)
+        metrics = {
+            "loss_train": loss,
+            "acc_test": masked_accuracy(logits_t, y[tidx]) * 100.0,
+        }
+        if want_ht:
+            metrics["head"] = subset_test_acc(params2, large_idx)
+            metrics["tail"] = subset_test_acc(params2, small_idx)
+            if zero_idx is not None:
+                metrics["iso"] = subset_test_acc(params2, zero_idx)
+        return params2, opt_state, metrics
+
+    cols = ["loss_train", "acc_test"] + (
+        ["head", "tail"] + (["iso"] if zero_idx is not None else [])
+        if want_ht
+        else []
+    )
+    records = np.zeros((epochs, len(cols)), np.float64)
+    for epoch in range(epochs):
+        k_run, k = jax.random.split(k_run)
+        params2, opt_state, m = step(params2, opt_state, k)
+        records[epoch] = [float(m[c]) for c in cols]
+        if log_every and epoch % log_every == 0:
+            print(f"p2 Ep{epoch:03d} " + " ".join(
+                f"{c}={records[epoch, i]:.2f}" for i, c in enumerate(cols)
+            ))
+    return TrainResult(cols, records, {"params": params2},
+                       extra={"model": model})
+
+
+# ---------------------------------------------------------------------------
+# Orchestration (trainer.main dispatch, trainer:10-30) and pure LP
+# ---------------------------------------------------------------------------
+
+
+def run_pure_lp(cfg: Config, data: PreparedData,
+                alpha: float = 0.5, num_propagations: int = 50):
+    """trainer:33-63: DAD label propagation from train labels."""
+    dad, _, _ = corr.gen_normalized_adjs(data.edge_index, data.n_node)
+    y = jnp.asarray(data.y)
+    out = corr.label_propagation(
+        y, jnp.asarray(data.train_idx), dad, alpha, num_propagations,
+        cfg.num_classes or int(data.y.max()) + 1,
+        spmm_method=cfg.spmm_method,
+    )
+    train_mask = jnp.asarray(data.train_mask)
+    acc_train = float(masked_accuracy(out, y, train_mask)) * 100
+    acc_test = float(masked_accuracy(out, y, ~train_mask)) * 100
+    return {"acc_train": round(acc_train, 2), "acc_test": round(acc_test, 2)}
+
+
+def run_experiment(cfg: Config, data: PreparedData, seed: int = 0,
+                   epochs: Optional[int] = None, log_every: int = 0):
+    """trainer.main dispatch (trainer_node_classification.py:10-30)."""
+    tw = cfg.train_which
+    if tw == "TeacherGNN":
+        return train_teacher(cfg, data, seed, epochs, log_every)
+    if tw == "LP":
+        return run_pure_lp(cfg, data)
+    if tw in ("StudentBaseMLP", "GraphMLP"):
+        cfg = dataclasses.replace(cfg, SEMLP__downgrade_to_MLP=True)
+        return train_semlp_part2(cfg, data, seed=seed, epochs=epochs,
+                                 log_every=log_every)
+    if tw == "SEMLP":
+        if cfg.SEMLP__downgrade_to_MLP:
+            return train_semlp_part2(cfg, data, seed=seed, epochs=epochs,
+                                     log_every=log_every)
+        teacher = train_teacher(cfg, data, seed, epochs, log_every)
+        se = collect_teacher_se(cfg, data, teacher.best_variables)
+        p1 = train_semlp_part1(cfg, data, se, seed, epochs, log_every)
+        p2 = train_semlp_part2(cfg, data, se, p1, seed, epochs, log_every)
+        p2.extra["teacher"] = teacher
+        p2.extra["part1"] = p1
+        return p2
+    raise ValueError(tw)

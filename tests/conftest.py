@@ -6,10 +6,17 @@ devices let shard_map/pjit paths compile and run under pytest.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# NOTE: this image's sitecustomize imports jax at interpreter start (axon TPU
+# plugin), so mutating JAX_PLATFORMS here is too late — use jax.config before
+# any backend is initialized instead. XLA_FLAGS is still read lazily at CPU
+# client creation.
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
