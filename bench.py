@@ -1,0 +1,204 @@
+"""Benchmark: TeacherGNN full-graph training step at ogbn-arxiv scale.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: 2-layer GCN + structural embeddings (whetherHasSE='100') on a
+synthetic power-law graph with ogbn-arxiv's shape (N=169343 nodes,
+~1.16M directed edges + self loops, feats 128, hidden 256, classes 40) —
+the largest configuration the reference trains (base_options.py:228-236),
+full-graph (non-minibatched), forward+backward+Adam per step.
+
+Metric: aggregated edges/s through the SpMM layers = E * num_layers /
+step_time (each layer's fwd SpMM + transposed bwd SpMM counted as one
+"edge" unit, matching BASELINE.md's "SpMM fwd+bwd edges/s/chip").
+
+vs_baseline: ratio against a naive XLA formulation of the same step —
+unsorted scatter-add aggregation with autodiff-derived (scatter/gather)
+backward, i.e. what a straight port of the reference's torch code to JAX
+would do. >1.0 means the framework's sorted-CSR custom-VJP path wins.
+"""
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
+                   seed=0):
+    import dataclasses
+
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import NodeData, prepare
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph,
+        synthetic_features_labels,
+    )
+
+    cfg = build_config(dataset="ogbn-arxiv", train_which="TeacherGNN",
+                       whetherHasSE="100", se_reg=0.5)
+    cfg = dataclasses.replace(cfg, use_special_split=False,
+                              do_deg_analyze=False, want_headtail=False)
+    x, y = synthetic_features_labels(n_node, n_feat, n_class, seed)
+    e = fast_powerlaw_graph(n_node, 1_166_243, seed)  # arxiv edge count
+    rng = np.random.default_rng(seed)
+    train = rng.random(n_node) < 0.54  # arxiv train fraction
+    data = NodeData(x=x, y=y, edge_index=e, train_mask=train, val_mask=None,
+                    test_mask=~train, name="bench-arxiv")
+    pd = prepare(data, cfg)
+    return cfg, pd
+
+
+def make_framework_step(cfg, pd):
+    from gnn_tail_generalization_tpu.models.teacher import TeacherGNN
+    from gnn_tail_generalization_tpu.train.loops import _nll_masked
+    from gnn_tail_generalization_tpu.train.optim import make_optimizer
+
+    model = TeacherGNN(cfg)
+    g = pd.graph
+    x = jnp.asarray(pd.x)
+    y = jnp.asarray(pd.y)
+    mask = jnp.asarray(pd.train_mask)
+    variables = jax.jit(
+        lambda g, x: model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            g, x, train=True,
+        )
+    )(g, x)
+    params = variables["params"]
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+
+    const = {"g": g, "x": x, "y": y, "mask": mask}
+
+    def loss_fn(params, rng, c):
+        _, classi, se_reg_all, _ = model.apply(
+            {"params": params}, c["g"], c["x"], train=True,
+            rngs={"dropout": rng}
+        )
+        loss = _nll_masked(classi, c["y"], c["mask"])
+        if se_reg_all is not None:
+            loss = loss + cfg.se_reg * se_reg_all
+        return loss
+
+    def step(params, opt_state, rng, c):
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng, c)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step, params, opt_state, const
+
+
+def make_naive_step(cfg, pd):
+    """Straight-port baseline: unsorted scatter-add SpMM, autodiff backward,
+    same model math and optimizer."""
+    import optax
+
+    e = pd.edge_index
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(e.shape[1])  # destroy the dst ordering
+    send = jnp.asarray(e[0][perm], jnp.int32)
+    recv = jnp.asarray(e[1][perm], jnp.int32)
+    n = pd.n_node
+    x = jnp.asarray(pd.x)
+    y = jnp.asarray(pd.y)
+    mask = jnp.asarray(pd.train_mask)
+    dout = jnp.clip(jnp.asarray(np.bincount(e[0], minlength=n)), 1, None) ** -0.5
+    din = jnp.clip(jnp.asarray(np.bincount(e[1], minlength=n)), 1, None) ** -0.5
+
+    k0, k1, k2 = jax.random.split(jax.random.PRNGKey(0), 3)
+    xavier = jax.nn.initializers.xavier_uniform()
+    params = {
+        "w0": xavier(k0, (cfg.num_feats, cfg.dim_hidden)),
+        "b0": jnp.zeros((cfg.dim_hidden,)),
+        "se0": jax.random.normal(k1, (n, cfg.dim_hidden)),
+        "w1": xavier(k2, (cfg.dim_hidden, cfg.num_classes)),
+        "b1": jnp.zeros((cfg.num_classes,)),
+    }
+    tx = optax.adam(cfg.lr)
+    opt_state = tx.init(params)
+
+    const = {"send": send, "recv": recv, "x": x, "y": y, "mask": mask,
+             "dout": dout, "din": din}
+
+    def agg(h, c):
+        return jnp.zeros((n, h.shape[1]), h.dtype).at[c["recv"]].add(
+            h[c["send"]]
+        )
+
+    def loss_fn(params, rng, c):
+        h = c["x"] * jax.random.bernoulli(rng, 0.9, c["x"].shape) / 0.9
+        h = (h * c["dout"][:, None]) @ params["w0"] + params["se0"]
+        h = jax.nn.relu(agg(h, c) * c["din"][:, None] + params["b0"])
+        h = (h * c["dout"][:, None]) @ params["w1"]
+        logits = agg(h, c) * c["din"][:, None] + params["b1"]
+        lsm = jax.nn.log_softmax(logits, axis=1)
+        picked = jnp.take_along_axis(lsm, c["y"][:, None], axis=1)[:, 0]
+        m = c["mask"].astype(jnp.float32)
+        loss = -jnp.sum(picked * m) / jnp.sum(m)
+        return loss + cfg.se_reg * jnp.linalg.norm(params["se0"].reshape(-1))
+
+    def step(params, opt_state, rng, c):
+        loss, grads = jax.value_and_grad(loss_fn)(params, rng, c)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step, params, opt_state, const
+
+
+def time_step(step, params, opt_state, const, iters=16):
+    """Run ``iters`` optimizer steps inside ONE jitted lax.scan so tunnel
+    dispatch latency does not pollute the per-step timing. Device data rides
+    in as an argument (never a closure constant)."""
+
+    @jax.jit
+    def multi(params, opt_state, key, c):
+        rngs = jax.random.split(key, iters)
+
+        def body(carry, rng):
+            p, o = carry
+            p, o, loss = step(p, o, rng, c)
+            return (p, o), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), rngs
+        )
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = multi(params, opt_state, jax.random.PRNGKey(7),
+                                    const)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    params, opt_state, loss = multi(params, opt_state, jax.random.PRNGKey(8),
+                                    const)
+    jax.block_until_ready(loss)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    cfg, pd = build_workload()
+    n_edges = pd.graph.n_edge
+    num_layers = cfg.num_layers
+
+    fw_step, fw_p, fw_o, fw_c = make_framework_step(cfg, pd)
+    t_fw = time_step(fw_step, fw_p, fw_o, fw_c)
+
+    nv_step, nv_p, nv_o, nv_c = make_naive_step(cfg, pd)
+    t_nv = time_step(nv_step, nv_p, nv_o, nv_c)
+
+    edges_per_s = n_edges * num_layers / t_fw
+    print(json.dumps({
+        "metric": "teacher_train_spmm_edges_per_s",
+        "value": round(edges_per_s),
+        "unit": "edges/s",
+        "vs_baseline": round(t_nv / t_fw, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -202,19 +202,24 @@ def dist_teacher_loss(mesh: Mesh, sg: ShardedGraph, params, x, y, train_mask,
     return loss
 
 
-def make_dist_train_step(mesh: Mesh, sg: ShardedGraph, lr: float = 1e-2,
+def make_dist_train_step(mesh: Mesh, lr: float = 1e-2,
                          se_reg: float = 10.0, axis: str = "graph"):
-    """jitted SGD train step over the mesh. Returns step(params, batch)."""
+    """jitted SGD train step over the mesh: step(params, batch, sg).
 
-    def loss_fn(params, batch):
+    The ShardedGraph is a step ARGUMENT, not a closure: closed-over device
+    arrays get baked into the lowered module as constants, which forces a
+    device->host readback at lowering time (pathological over a tunneled
+    TPU) and bloats the executable."""
+
+    def loss_fn(params, batch, sg):
         return dist_teacher_loss(
             mesh, sg, params, batch["x"], batch["y"], batch["train_mask"],
             batch["deg_in"], batch["deg_out"], se_reg, axis,
         )
 
     @jax.jit
-    def step(params, batch):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+    def step(params, batch, sg):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, sg)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         return params, loss
 

@@ -89,45 +89,59 @@ def train_teacher(
     log_every: int = 0,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
-    g = data.graph
-    x = jnp.asarray(data.x)
-    y = jnp.asarray(data.y)
+    # Device data is passed to the jitted step as ARGUMENTS, never closed
+    # over: closure device arrays get baked into the lowered module as
+    # constants (host readback at lowering time + executable bloat).
+    const = {
+        "g": data.graph,
+        "x": jnp.asarray(data.x),
+        "y": jnp.asarray(data.y),
+        "test_mask": jnp.asarray(data.test_mask),
+    }
     train_mask, large, small, zero = _split_masks(data)
+    const["train_mask"] = train_mask
+    want_ht = cfg.want_headtail and data.splits is not None
+    if want_ht:
+        const["large"] = large
+        const["small"] = small
+        if zero is not None:
+            const["zero"] = zero
 
     model = TeacherGNN(cfg)
     root = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(root)
-    variables = model.init(
-        {"params": k_init, "dropout": k_init, "graph_dropout": k_init},
-        g, x, train=True,
-    )
+    variables = jax.jit(
+        lambda g, x: model.init(
+            {"params": k_init, "dropout": k_init, "graph_dropout": k_init},
+            g, x, train=True,
+        )
+    )(const["g"], const["x"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
-    want_ht = cfg.want_headtail and data.splits is not None
-
-    def loss_fn(params, batch_stats, rng):
+    def loss_fn(params, batch_stats, rng, c):
         vs = {"params": params}
         if batch_stats is not None:
             vs["batch_stats"] = batch_stats
         rngs = {"dropout": rng, "graph_dropout": jax.random.fold_in(rng, 1)}
         mutable = ["batch_stats"] if batch_stats is not None else []
         out, new_vars = model.apply(
-            vs, g, x, train=True, rngs=rngs, mutable=mutable
+            vs, c["g"], c["x"], train=True, rngs=rngs, mutable=mutable
         )
         _, classi, se_reg_all, _ = out
-        loss = _nll_masked(classi, y, train_mask) * cfg.TeacherGNN.lossa_semantic
+        loss = _nll_masked(classi, c["y"], c["train_mask"]) \
+            * cfg.TeacherGNN.lossa_semantic
         if se_reg_all is not None:
             loss = loss + cfg.se_reg * se_reg_all
         new_bs = new_vars.get("batch_stats") if mutable else batch_stats
         return loss, (new_bs,)
 
     @jax.jit
-    def step(params, batch_stats, opt_state, rng):
+    def step(params, batch_stats, opt_state, rng, c):
         (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, rng
+            params, batch_stats, rng, c
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -136,16 +150,17 @@ def train_teacher(
         vs = {"params": params}
         if new_bs is not None:
             vs["batch_stats"] = new_bs
-        _, classi, _, _ = model.apply(vs, g, x, train=False)
+        _, classi, _, _ = model.apply(vs, c["g"], c["x"], train=False)
+        y, train_mask = c["y"], c["train_mask"]
         metrics = {
             "loss_train": loss,
             "acc_train": masked_accuracy(classi, y, train_mask) * 100.0,
-            "acc_test": masked_accuracy(classi, y, jnp.asarray(data.test_mask))
-            * 100.0,
+            "acc_test": masked_accuracy(classi, y, c["test_mask"]) * 100.0,
         }
         if want_ht:
             metrics.update(
-                headtail_accuracies(classi, y, train_mask, large, small, zero)
+                headtail_accuracies(classi, y, train_mask, c["large"],
+                                    c["small"], c.get("zero"))
             )
         return params, new_bs, opt_state, metrics
 
@@ -161,7 +176,7 @@ def train_teacher(
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
         params, batch_stats, opt_state, metrics = step(
-            params, batch_stats, opt_state, k
+            params, batch_stats, opt_state, k, const
         )
         row = [float(metrics[c]) for c in cols]
         records[epoch] = row
@@ -223,17 +238,22 @@ def train_semlp_part1(
     log_every: int = 0,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
-    x = jnp.asarray(data.x)
-    train_idx = jnp.asarray(data.train_idx)
-    test_idx = jnp.asarray(data.test_idx)
+    const = {
+        "x": jnp.asarray(data.x),
+        "se": teacher_se,
+        "train_idx": jnp.asarray(data.train_idx),
+        "test_idx": jnp.asarray(data.test_idx),
+    }
     bsz = min(cfg.batch_size, len(data.train_idx))  # clamp (MLP_model:61-63)
 
     part1 = SEMLPPart1(cfg, se_dim=int(teacher_se.shape[-1]))
     root = jax.random.PRNGKey(seed + 1)
     k_init, k_run = jax.random.split(root)
-    params = part1.init(
-        {"params": k_init, "dropout": k_init}, x[:2], train=True
-    )["params"]
+    params = jax.jit(
+        lambda x: part1.init(
+            {"params": k_init, "dropout": k_init}, x, train=True
+        )
+    )(const["x"][:2])["params"]
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
@@ -241,30 +261,30 @@ def train_semlp_part1(
         return idx[jax.random.randint(rng, (bsz,), 0, idx.shape[0])]
 
     @jax.jit
-    def step(params, opt_state, rng):
+    def step(params, opt_state, rng, c):
         kb, kd, ke = jax.random.split(rng, 3)
-        bidx = sample(kb, train_idx)
+        bidx = sample(kb, c["train_idx"])
 
         def loss_fn(p):
             out = part1.apply(
-                {"params": p}, x[bidx], train=True, rngs={"dropout": kd}
+                {"params": p}, c["x"][bidx], train=True, rngs={"dropout": kd}
             )
-            return jnp.mean((out - teacher_se[bidx]) ** 2)
+            return jnp.mean((out - c["se"][bidx]) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
 
-        tidx = sample(ke, test_idx)
-        out_t = part1.apply({"params": params}, x[tidx], train=False)
-        loss_test = jnp.mean((out_t - teacher_se[tidx]) ** 2)
+        tidx = sample(ke, c["test_idx"])
+        out_t = part1.apply({"params": params}, c["x"][tidx], train=False)
+        loss_test = jnp.mean((out_t - c["se"][tidx]) ** 2)
         return params, opt_state, {"loss_train": loss, "loss_test": loss_test}
 
     cols = ["loss_train", "loss_test"]
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
-        params, opt_state, m = step(params, opt_state, k)
+        params, opt_state, m = step(params, opt_state, k, const)
         records[epoch] = [float(m[c]) for c in cols]
         if log_every and epoch % log_every == 0:
             print(f"p1 Ep{epoch:03d} train/test mse "
@@ -310,11 +330,13 @@ def train_semlp_part2(
     log_every: int = 0,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
-    x = jnp.asarray(data.x)
-    y = jnp.asarray(data.y)
-    train_idx = jnp.asarray(data.train_idx)
-    test_idx = jnp.asarray(data.test_idx)
-    train_mask = jnp.asarray(data.train_mask)
+    const = {
+        "x": jnp.asarray(data.x),
+        "y": jnp.asarray(data.y),
+        "train_idx": jnp.asarray(data.train_idx),
+        "test_idx": jnp.asarray(data.test_idx),
+        "train_mask": jnp.asarray(data.train_mask),
+    }
     bsz = min(cfg.batch_size, len(data.train_idx))
 
     is_graphmlp = cfg.train_which == "GraphMLP"
@@ -325,27 +347,28 @@ def train_semlp_part2(
     if not downgraded:
         assert teacher_se is not None and part1_result is not None
         part1 = part1_result.extra["model"]
-        params1 = part1_result.variables["params"]
-        se_table = teacher_se
+        const["params1"] = part1_result.variables["params"]
+        const["se"] = teacher_se
     else:
-        part1, params1, se_table = None, None, jnp.zeros((1, 1))
+        part1 = None
+        const["se"] = jnp.zeros((1, 1))
 
-    adj_pow = None
     if is_graphmlp:
-        adj_pow = jnp.asarray(_dense_adj_pow(data, cfg.graphMLP_r))
+        const["adj_pow"] = jnp.asarray(_dense_adj_pow(data, cfg.graphMLP_r))
 
     model = GraphMLP(cfg) if is_graphmlp else SEMLPPart2(cfg)
     root = jax.random.PRNGKey(seed + 2)
     k_init, k_run = jax.random.split(root)
 
-    def fwd(params2, xb, bidx, rng, train):
+    def fwd(params2, c, bidx, rng, train):
         """Returns (logits, aux_loss)."""
+        xb = c["x"][bidx]
         rngs = {"dropout": rng} if train else None
         if is_graphmlp:
             logits, z = model.apply(
                 {"params": params2}, xb, train=train, rngs=rngs
             )
-            crop = adj_pow[bidx][:, bidx]
+            crop = c["adj_pow"][bidx][:, bidx]
             nc = neighbor_contrastive_loss(z, crop, cfg.graphMLP_tau)
             return logits, nc * cfg.graphMLP_reg
         if part1 is not None:
@@ -354,33 +377,34 @@ def train_semlp_part2(
             # inside SEMLPPart2.
             p1rng = {"dropout": jax.random.fold_in(rng, 7)} if train else None
             p1 = part1.apply(
-                {"params": params1}, xb, train=train, rngs=p1rng
+                {"params": c["params1"]}, xb, train=train, rngs=p1rng
             )
         else:
             p1 = jnp.zeros((xb.shape[0], 1))
         logits = model.apply(
-            {"params": params2}, xb, p1, se_table, train=train, rngs=rngs
+            {"params": params2}, xb, p1, c["se"], train=train, rngs=rngs
         )
         return logits, 0.0
 
     dummy_rng = jax.random.PRNGKey(0)
     params2 = None
 
-    def init_params(k):
-        xb = x[:2]
+    @jax.jit
+    def init_params(k, c):
+        xb = c["x"][:2]
         if is_graphmlp:
             return model.init({"params": k, "dropout": k}, xb, train=True)[
                 "params"
             ]
         if part1 is not None:
-            p1 = part1.apply({"params": params1}, xb, train=False)
+            p1 = part1.apply({"params": c["params1"]}, xb, train=False)
         else:
             p1 = jnp.zeros((2, 1))
         return model.init(
-            {"params": k, "dropout": k}, xb, p1, se_table, train=True
+            {"params": k, "dropout": k}, xb, p1, c["se"], train=True
         )["params"]
 
-    params2 = init_params(k_init)
+    params2 = init_params(k_init, const)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params2)
 
@@ -388,35 +412,33 @@ def train_semlp_part2(
         return idx[jax.random.randint(rng, (bsz,), 0, idx.shape[0])]
 
     want_ht = cfg.want_headtail and data.splits is not None
-    s = data.splits
-    large_idx = jnp.asarray(s.large_deg_idx) if want_ht else None
-    small_idx = jnp.asarray(s.small_deg_idx) if want_ht else None
-    zero_idx = (
-        jnp.asarray(s.zero_deg_idx)
-        if (want_ht and s.zero_deg_idx is not None)
-        else None
-    )
+    sp = data.splits
+    if want_ht:
+        const["large_idx"] = jnp.asarray(sp.large_deg_idx)
+        const["small_idx"] = jnp.asarray(sp.small_deg_idx)
+        if sp.zero_deg_idx is not None:
+            const["zero_idx"] = jnp.asarray(sp.zero_deg_idx)
+    has_zero = want_ht and sp is not None and sp.zero_deg_idx is not None
 
-    def subset_test_acc(params2, idx):
+    def subset_test_acc(params2, c, idx):
         """forward on the subset, acc over its non-train part
         (trainer:173-187, eval_headtail__traintest_v2)."""
-        logits, _ = fwd(params2, x[idx], idx, dummy_rng, train=False)
-        m = ~train_mask[idx]
+        logits, _ = fwd(params2, c, idx, dummy_rng, train=False)
+        m = ~c["train_mask"][idx]
         pred = jnp.argmax(logits, axis=1)
-        corr_ = ((pred == y[idx]) & m).sum()
+        corr_ = ((pred == c["y"][idx]) & m).sum()
         return corr_ / jnp.maximum(m.sum(), 1) * 100.0
 
     @jax.jit
-    def step(params2, opt_state, rng):
+    def step(params2, opt_state, rng, c):
         kb, kd, ke = jax.random.split(rng, 3)
-        bidx = sample(kb, train_idx)
-        xb = x[bidx]
+        bidx = sample(kb, c["train_idx"])
 
         def loss_fn(p2):
-            logits, aux = fwd(p2, xb, bidx, kd, train=True)
+            logits, aux = fwd(p2, c, bidx, kd, train=True)
             lsm = jax.nn.log_softmax(logits, axis=1)
             ce = -jnp.mean(
-                jnp.take_along_axis(lsm, y[bidx][:, None], axis=1)
+                jnp.take_along_axis(lsm, c["y"][bidx][:, None], axis=1)
             )
             return ce + aux
 
@@ -424,28 +446,28 @@ def train_semlp_part2(
         updates, opt_state = tx.update(grads, opt_state, params2)
         params2 = jax.tree.map(lambda p, u: p + u, params2, updates)
 
-        tidx = sample(ke, test_idx)
-        logits_t, _ = fwd(params2, x[tidx], tidx, dummy_rng, train=False)
+        tidx = sample(ke, c["test_idx"])
+        logits_t, _ = fwd(params2, c, tidx, dummy_rng, train=False)
         metrics = {
             "loss_train": loss,
-            "acc_test": masked_accuracy(logits_t, y[tidx]) * 100.0,
+            "acc_test": masked_accuracy(logits_t, c["y"][tidx]) * 100.0,
         }
         if want_ht:
-            metrics["head"] = subset_test_acc(params2, large_idx)
-            metrics["tail"] = subset_test_acc(params2, small_idx)
-            if zero_idx is not None:
-                metrics["iso"] = subset_test_acc(params2, zero_idx)
+            metrics["head"] = subset_test_acc(params2, c, c["large_idx"])
+            metrics["tail"] = subset_test_acc(params2, c, c["small_idx"])
+            if "zero_idx" in c:
+                metrics["iso"] = subset_test_acc(params2, c, c["zero_idx"])
         return params2, opt_state, metrics
 
     cols = ["loss_train", "acc_test"] + (
-        ["head", "tail"] + (["iso"] if zero_idx is not None else [])
+        ["head", "tail"] + (["iso"] if has_zero else [])
         if want_ht
         else []
     )
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
-        params2, opt_state, m = step(params2, opt_state, k)
+        params2, opt_state, m = step(params2, opt_state, k, const)
         records[epoch] = [float(m[c]) for c in cols]
         if log_every and epoch % log_every == 0:
             print(f"p2 Ep{epoch:03d} " + " ".join(
@@ -465,11 +487,13 @@ def run_pure_lp(cfg: Config, data: PreparedData,
     """trainer:33-63: DAD label propagation from train labels."""
     dad, _, _ = corr.gen_normalized_adjs(data.edge_index, data.n_node)
     y = jnp.asarray(data.y)
-    out = corr.label_propagation(
-        y, jnp.asarray(data.train_idx), dad, alpha, num_propagations,
-        cfg.num_classes or int(data.y.max()) + 1,
-        spmm_method=cfg.spmm_method,
-    )
+    nc = cfg.num_classes or int(data.y.max()) + 1
+    out = jax.jit(
+        lambda y, idx, g: corr.label_propagation(
+            y, idx, g, alpha, num_propagations, nc,
+            spmm_method=cfg.spmm_method,
+        )
+    )(y, jnp.asarray(data.train_idx), dad)
     train_mask = jnp.asarray(data.train_mask)
     acc_train = float(masked_accuracy(out, y, train_mask)) * 100
     acc_test = float(masked_accuracy(out, y, ~train_mask)) * 100

@@ -1,0 +1,101 @@
+"""Experiment driver CLI.
+
+Mirrors ``/root/reference/main.py`` (seed loop, per-seed trainer, stacked
+result tensor) over the typed config pipeline — every reference flag of
+base_options.py is accepted with the same name/default via the Config
+dataclass; unknown dataset files fall back to a synthetic stand-in (this
+environment never downloads).
+
+Usage:
+  python main.py --dataset=Cora --train_which=TeacherGNN --N_exp=2 \
+      --epochs=200 --whetherHasSE=100 --se_reg=32
+"""
+import argparse
+import dataclasses
+import json
+
+import numpy as np
+
+
+def parse_args():
+    from gnn_tail_generalization_tpu.config import Config
+
+    parser = argparse.ArgumentParser(
+        description="Tail and cold start generalization (TPU-native)"
+    )
+    for f in dataclasses.fields(Config):
+        if f.name in ("TeacherGNN", "StudentBaseMLP", "preStep", "midStep",
+                      "lpStep"):
+            continue  # derived sub-configs
+        default = f.default if f.default is not dataclasses.MISSING else None
+        ftype = f.type if isinstance(f.type, type) else type(default)
+        if ftype is bool or isinstance(default, bool):
+            parser.add_argument(f"--{f.name}", type=int, default=None)
+        elif isinstance(default, (int, float, str)) or default is None:
+            cast = type(default) if default is not None else str
+            parser.add_argument(f"--{f.name}", type=cast, default=None)
+    parser.add_argument("--data_root", type=str, default="data")
+    parser.add_argument("--log_every", type=int, default=20)
+    ns = parser.parse_args()
+    overrides = {
+        k: v for k, v in vars(ns).items()
+        if v is not None and k not in ("data_root", "log_every")
+    }
+    # cast int-encoded bools back
+    for f in dataclasses.fields(Config):
+        if f.name in overrides and isinstance(f.default, bool):
+            overrides[f.name] = bool(overrides[f.name])
+    return overrides, ns.data_root, ns.log_every
+
+
+def main():
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import load_dataset, prepare
+    from gnn_tail_generalization_tpu.train import loops
+
+    overrides, data_root, log_every = parse_args()
+    cfg = build_config(**overrides)
+    print(f"Configs:\n  dataset={cfg.dataset} train_which={cfg.train_which} "
+          f"type_trick={cfg.type_trick} num_layers={cfg.num_layers} "
+          f"dim_hidden={cfg.dim_hidden}")
+
+    data = load_dataset(cfg, data_root)
+    if data.name.startswith("synthetic"):
+        print(f"NOTE: no raw dataset files found under {data_root!r}; "
+              f"running on a synthetic stand-in with the preset shapes.")
+        n = data.x.shape[0]
+        cfg = dataclasses.replace(
+            cfg, N_nodes=n, num_feats=data.x.shape[1],
+            num_classes=int(data.y.max()) + 1,
+        )
+        from gnn_tail_generalization_tpu.config import apply_arch_configs
+        cfg = apply_arch_configs(cfg)
+    pd = prepare(data, cfg)
+
+    all_records = []
+    for seed in range(cfg.N_exp):
+        res = loops.run_experiment(
+            cfg, pd, seed=cfg.random_seed + seed, log_every=log_every
+        )
+        if isinstance(res, dict):  # pure LP
+            print(json.dumps(res))
+            return
+        all_records.append(res.records)
+        print(f"seed {seed}: " + " ".join(
+            f"{c}={res.records[-1, i]:.2f}"
+            for i, c in enumerate(res.columns)
+        ))
+
+    stacked = np.stack(all_records)  # [seeds, epochs, cols]
+    final = stacked[:, -1, :]
+    cols = res.columns
+    print("=== mean ± std over seeds (final epoch) ===")
+    for i, c in enumerate(cols):
+        print(f"  {c}: {final[:, i].mean():.2f} ± {final[:, i].std():.2f}")
+    best_i = cols.index("acc_test") if "acc_test" in cols else 0
+    print(f"best acc_test over epochs, per seed: "
+          f"{stacked[:, :, best_i].max(axis=1)}")
+
+
+if __name__ == "__main__":
+    main()

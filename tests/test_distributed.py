@@ -95,10 +95,10 @@ def test_dist_train_step_runs_and_learns(rng):
     shardings = dist.param_shardings(mesh, params)
     params = jax.tree.map(jax.device_put, params, shardings)
 
-    step = dist.make_dist_train_step(mesh, sg, lr=0.05, se_reg=0.01)
+    step = dist.make_dist_train_step(mesh, lr=0.05, se_reg=0.01)
     losses = []
     for _ in range(15):
-        params, loss = step(params, batch)
+        params, loss = step(params, batch, sg)
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     # SE table stayed sharded
