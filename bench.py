@@ -170,13 +170,15 @@ def time_step(step, params, opt_state, const, iters=16):
         )
         return params, opt_state, losses[-1]
 
+    # NOTE: float(loss) (host readback) is the sync point — block_until_ready
+    # does not reliably wait through the tunneled-TPU backend.
     params, opt_state, loss = multi(params, opt_state, jax.random.PRNGKey(7),
                                     const)
-    jax.block_until_ready(loss)
+    assert np.isfinite(float(loss))
     t0 = time.perf_counter()
     params, opt_state, loss = multi(params, opt_state, jax.random.PRNGKey(8),
                                     const)
-    jax.block_until_ready(loss)
+    float(loss)
     return (time.perf_counter() - t0) / iters
 
 

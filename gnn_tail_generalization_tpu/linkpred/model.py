@@ -1,0 +1,366 @@
+"""Link-prediction model: input layer + encoder + predictor, jitted loops.
+
+Reference parity: ``/root/reference/Link_prediction_model/model.py``
+- input layer (268-288): raw feats / trainable node embedding / both
+- encoder & predictor factories (290-319)
+- train (121-169): full-graph encode per edge minibatch, pos/neg scores,
+  configurable loss, per-module grad clip, Adam/AdamW
+- batch_predict/test (171-266): full-split scoring + hits/mrr/recall
+
+TPU-first: edge minibatches are fixed-size (pad+mask); the encode runs once
+per step under jit; negative sampling is the fixed-shape sampler of
+linkpred/sampling.py.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..graph.core import Graph, build_graph, symmetrize
+from . import losses as L
+from . import metrics as M
+from . import sampling
+from .encoders import GNNEncoder
+from .predictors import create_predictor
+
+
+@dataclass(frozen=True)
+class LinkPredConfig:
+    """Mirrors the BaseModel ctor args (model.py:43-88) + trainer flags."""
+
+    encoder: str = "SAGE"
+    predictor: str = "DOT"
+    loss_func: str = "ce_loss"
+    optimizer: str = "Adam"
+    neg_sampler: str = "global"
+    lr: float = 0.001
+    dropout: float = 0.2
+    grad_clip_norm: float = 2.0
+    gnn_num_layers: int = 2
+    mlp_num_layers: int = 2
+    emb_hidden_channels: int = 256
+    gnn_hidden_channels: int = 256
+    mlp_hidden_channels: int = 256
+    num_neg: int = 3
+    batch_size: int = 64 * 1024
+    use_node_feats: bool = False
+    train_node_emb: bool = True
+    eval_metric: str = "recall_my@1.25"
+
+
+class LinkPredModel(nn.Module):
+    cfg: LinkPredConfig
+    n_node: int
+    num_node_feats: int
+
+    def setup(self):
+        c = self.cfg
+        if c.train_node_emb or not c.use_node_feats:
+            self.node_emb = self.param(
+                "node_emb",
+                nn.initializers.xavier_uniform(),
+                (self.n_node, c.emb_hidden_channels),
+            )
+        else:
+            self.node_emb = None
+        self.encoder = GNNEncoder(
+            kind=c.encoder,
+            hidden_channels=c.gnn_hidden_channels,
+            out_channels=c.gnn_hidden_channels,
+            num_layers=c.gnn_num_layers,
+            dropout=c.dropout,
+        )
+        self.predictor = create_predictor(
+            c.predictor, c.mlp_hidden_channels, c.mlp_num_layers, c.dropout
+        )
+
+    def input_feat(self, x):
+        """create_input_feat (model.py:96-106)."""
+        c = self.cfg
+        if c.use_node_feats:
+            feats = x
+            if self.node_emb is not None:
+                feats = jnp.concatenate([self.node_emb, feats], axis=-1)
+            return feats
+        return self.node_emb
+
+    def encode(self, g: Graph, x, *, train: bool = False):
+        return self.encoder(g, self.input_feat(x), train=train)
+
+    def predict(self, h, src, dst, *, train: bool = False):
+        return self.predictor(h[src], h[dst], train=train)
+
+    def __call__(self, g: Graph, x, src, dst, *, train: bool = False):
+        h = self.encode(g, x, train=train)
+        return self.predict(h, src, dst, train=train)
+
+
+def compute_loss(cfg: LinkPredConfig, pos_out, neg_out, margin=None):
+    """calculate_loss (model.py:108-119)."""
+    name = cfg.loss_func
+    if name == "ce_loss":
+        return L.ce_loss(pos_out, neg_out)
+    if name == "info_nce_loss":
+        return L.info_nce_loss(pos_out, neg_out, cfg.num_neg)
+    if name == "log_rank_loss":
+        return L.log_rank_loss(pos_out, neg_out, cfg.num_neg)
+    if name == "adaptive_auc_loss" and margin is not None:
+        return L.adaptive_auc_loss(pos_out, neg_out, cfg.num_neg, margin)
+    return L.auc_loss(pos_out, neg_out, cfg.num_neg)
+
+
+# ---------------------------------------------------------------------------
+# Edge splits
+# ---------------------------------------------------------------------------
+
+
+def simple_split_edges(edge_index: np.ndarray, n_node: int,
+                       val_frac: float = 0.05, test_frac: float = 0.1,
+                       num_neg_eval: int = 100, seed: int = 0):
+    """Random train/valid/test positive-edge split with sampled eval
+    negatives (the random-split path of init_split_edge_unified_impl,
+    utils.py:62-145; the transfer-setting masks are handled by the graph
+    surgery utilities before this)."""
+    rng = np.random.default_rng(seed)
+    e = np.asarray(edge_index)
+    # undirected: keep each pair once
+    und = e[:, e[0] < e[1]]
+    m = und.shape[1]
+    perm = rng.permutation(m)
+    n_val = int(m * val_frac)
+    n_test = int(m * test_frac)
+    val = und[:, perm[:n_val]]
+    test = und[:, perm[n_val:n_val + n_test]]
+    train = und[:, perm[n_val + n_test:]]
+
+    keys = sampling.edge_keys(e, n_node)
+
+    def sample_negs(k, count):
+        out = np.empty((count, 2), np.int64)
+        filled = 0
+        while filled < count:
+            cand = rng.integers(0, n_node, (2, count * 2))
+            with np.errstate(over="ignore"):
+                ck = sampling._hash32(cand[0].astype(np.int32),
+                                      cand[1].astype(np.int32))
+            ok = ~np.isin(ck, keys) & (cand[0] != cand[1])
+            take = min(count - filled, ok.sum())
+            out[filled:filled + take] = cand[:, ok][:, :take].T
+            filled += take
+        return out
+
+    split_edge = {
+        "train": {"edge": train.T},
+        "valid": {"edge": val.T,
+                  "edge_neg": sample_negs(rng, max(n_val, 1) * 1)},
+        "test": {"edge": test.T,
+                 "edge_neg": sample_negs(rng, max(n_test, 1) * 1)},
+    }
+    # message-passing graph = train positives symmetrized
+    msg_edges = symmetrize(np.concatenate([train, train[::-1]], axis=1),
+                           n_node)
+    return split_edge, msg_edges
+
+
+# ---------------------------------------------------------------------------
+# Runner
+# ---------------------------------------------------------------------------
+
+
+class Logger:
+    """Per-run (valid, test) series; best-by-valid statistics
+    (Link_prediction_model/logger.py:5-46)."""
+
+    def __init__(self, runs: int):
+        self.results = [[] for _ in range(runs)]
+
+    def add_result(self, run: int, result):
+        self.results[run].append(tuple(result))
+
+    def best(self, run: int):
+        arr = np.asarray(self.results[run])
+        if len(arr) == 0:
+            return (np.nan, np.nan)
+        i = int(np.argmax(arr[:, 0]))
+        return tuple(arr[i])
+
+    def statistics(self):
+        bests = np.asarray([self.best(r) for r in range(len(self.results))])
+        return {
+            "valid_mean": float(np.nanmean(bests[:, 0])),
+            "valid_std": float(np.nanstd(bests[:, 0])),
+            "test_mean": float(np.nanmean(bests[:, 1])),
+            "test_std": float(np.nanstd(bests[:, 1])),
+        }
+
+
+def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
+    def loss_fn(params, c, pos_edge, neg_edge, rng):
+        h = model.apply(
+            {"params": params}, c["g"], c["x"], train=True,
+            rngs={"dropout": rng}, method=model.encode,
+        )
+        pos_out = model.apply(
+            {"params": params}, h, pos_edge[:, 0], pos_edge[:, 1],
+            train=True, rngs={"dropout": jax.random.fold_in(rng, 1)},
+            method=model.predict,
+        )
+        neg = neg_edge.reshape(-1, 2)
+        neg_out = model.apply(
+            {"params": params}, h, neg[:, 0], neg[:, 1],
+            train=True, rngs={"dropout": jax.random.fold_in(rng, 2)},
+            method=model.predict,
+        )
+        return compute_loss(cfg, pos_out, neg_out)
+
+    @jax.jit
+    def step(params, opt_state, c, pos_edge, neg_edge, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, c, pos_edge, neg_edge, rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def train_linkpred(
+    cfg: LinkPredConfig,
+    x: Optional[np.ndarray],
+    edge_index: np.ndarray,
+    n_node: int,
+    epochs: int = 5,
+    runs: int = 1,
+    eval_steps: int = 1,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Dict[str, Any]:
+    """The run x epoch loop of trainer_link_prediction.py:215-431 (random
+    split setting)."""
+    split_edge, msg_edges = simple_split_edges(edge_index, n_node, seed=seed)
+    g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096)
+    if cfg.encoder.upper() == "GCN":
+        from ..graph.core import gcn_norm_weights, add_self_loops, \
+            remove_self_loops
+
+        e2 = add_self_loops(remove_self_loops(msg_edges), n_node)
+        w = gcn_norm_weights(e2, n_node)
+        g = build_graph(e2, n_node, edge_weight=w,
+                        with_dense=n_node <= 4096)
+
+    num_feats = 0 if x is None else x.shape[1]
+    model = LinkPredModel(cfg, n_node, num_feats)
+    xd = (jnp.zeros((n_node, 1)) if x is None
+          else jnp.asarray(x, jnp.float32))
+    const = {"g": g, "x": xd}
+
+    pos_train = np.asarray(split_edge["train"]["edge"])
+    n_pos = pos_train.shape[0]
+    bsz = min(cfg.batch_size, n_pos)
+    keys_sorted = jnp.asarray(sampling.edge_keys(msg_edges, n_node))
+
+    if cfg.optimizer == "AdamW":
+        base = optax.adamw(cfg.lr)
+    else:
+        base = optax.adam(cfg.lr)
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), base) \
+        if cfg.grad_clip_norm >= 0 else base
+
+    step = make_train_step(cfg, model, tx)
+
+    @jax.jit
+    def predict_all(params, c, edges):
+        h = model.apply({"params": params}, c["g"], c["x"], train=False,
+                        method=model.encode)
+        return model.apply({"params": params}, h, edges[:, 0], edges[:, 1],
+                           train=False, method=model.predict)
+
+    logger = Logger(runs)
+    root = jax.random.PRNGKey(seed)
+    results_last = None
+
+    for run in range(runs):
+        k_run = jax.random.fold_in(root, run)
+        params = jax.jit(
+            lambda c: model.init(
+                {"params": jax.random.fold_in(k_run, 999),
+                 "dropout": k_run},
+                c["g"], c["x"], jnp.zeros(2, jnp.int32),
+                jnp.zeros(2, jnp.int32), train=False,
+            )
+        )(const)["params"]
+        opt_state = tx.init(params)
+
+        for epoch in range(epochs):
+            k_ep = jax.random.fold_in(k_run, epoch)
+            if cfg.neg_sampler == "global":
+                neg = sampling.global_neg_sample(
+                    k_ep, keys_sorted, n_node, n_pos, cfg.num_neg)
+            elif cfg.neg_sampler == "local":
+                neg = sampling.local_neg_sample(
+                    k_ep, jnp.asarray(pos_train), n_node, cfg.num_neg)
+            else:
+                neg = sampling.global_perm_neg_sample(
+                    k_ep, keys_sorted, n_node, n_pos, cfg.num_neg)
+
+            perm = np.random.default_rng(seed * 1000 + epoch).permutation(
+                n_pos)
+            total_loss = 0.0
+            nb = 0
+            for s0 in range(0, n_pos - bsz + 1, bsz) or [0]:
+                sel = perm[s0:s0 + bsz]
+                params, opt_state, loss = step(
+                    params, opt_state, const,
+                    jnp.asarray(pos_train[sel]), neg[sel],
+                    jax.random.fold_in(k_ep, s0),
+                )
+                total_loss += float(loss)
+                nb += 1
+
+            if (epoch + 1) % eval_steps == 0:
+                results = evaluate(cfg, model, params, const, split_edge,
+                                   predict_all)
+                key = list(results.keys())[0]
+                vals = results[key]
+                logger.add_result(run, vals[-2:])
+                results_last = results
+                if log_every:
+                    print(f"run {run} ep {epoch}: loss={total_loss/max(nb,1):.4f} "
+                          f"{key}={vals}")
+
+    return {"logger": logger, "stats": logger.statistics(),
+            "last_results": results_last, "params": params,
+            "split_edge": split_edge}
+
+
+def evaluate(cfg, model, params, const, split_edge, predict_all):
+    """model.test (model.py:187-266) for the random-split setting."""
+    def scores(edges):
+        return predict_all(params, const, jnp.asarray(np.asarray(edges)))
+
+    pos_val = scores(split_edge["valid"]["edge"])
+    neg_val = scores(split_edge["valid"]["edge_neg"])
+    pos_test = scores(split_edge["test"]["edge"])
+    neg_test = scores(split_edge["test"]["edge_neg"])
+    pos_train = scores(split_edge["train"]["edge"])
+    neg_train = neg_val  # reference uses fresh global negs; reuse eval negs
+
+    m = cfg.eval_metric
+    if m == "hits":
+        return M.evaluate_hits(pos_val, neg_val, pos_test, neg_test)
+    if m == "mrr":
+        return M.evaluate_mrr(pos_val, neg_val, pos_test, neg_test)
+    if "recall_my" in m:
+        topk = float(m.split("@")[1])
+        return M.evaluate_recall_my(pos_train, neg_train, pos_val, neg_val,
+                                    pos_test, neg_test, topk=topk)
+    raise ValueError(m)

@@ -1,0 +1,108 @@
+"""Negative edge samplers, fixed-shape (jittable).
+
+Reference parity: ``/root/reference/Link_prediction_model/negative_sample.py``
+- global:      uniform non-edge pairs (PyG negative_sampling semantics:
+  existing edges and self loops excluded), [B, num_neg, 2]
+- global_perm: one batch of uniform non-edges, permuted copies
+- local:       fixed source from the positive edge, random destination
+
+TPU-first: PyG's rejection loop is replaced by fixed-rounds resampling —
+draw uniform pairs, test membership against the sorted edge-key set with
+searchsorted, redraw collisions a fixed number of rounds (collision
+probability E/N^2 per draw makes leftovers vanishingly rare; any survivor
+is kept, an O(E/N^2) approximation that keeps every shape static).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+#: multiplicative-hash constants; int32 wraparound is deliberate. A hash
+#: collision only causes a valid negative to be resampled (over-rejection);
+#: a real edge is always detected — exactly the safe direction here.
+_H1, _H2 = np.int32(-1640531527), np.int32(97)  # 2654435761 wrapped, prime
+
+
+def _hash32(src, dst):
+    return src * _H1 + dst * _H2
+
+
+def edge_keys(edge_index: np.ndarray, n_node: int) -> np.ndarray:
+    """Sorted int32 hash keys of (src, dst) pairs + self loops, for
+    membership tests (the reference adds self loops before sampling,
+    negative_sample.py:7,23). int64 pair keys would overflow jax's default
+    int32 for N > ~46k, hence the hash."""
+    e = np.asarray(edge_index, np.int64)
+    with np.errstate(over="ignore"):
+        keys = _hash32(e[0].astype(np.int32), e[1].astype(np.int32))
+        loops = np.arange(n_node, dtype=np.int32)
+        lkeys = _hash32(loops, loops)
+    return np.unique(np.concatenate([keys, lkeys]))
+
+
+def _is_member(keys_sorted: jax.Array, src: jax.Array,
+               dst: jax.Array) -> jax.Array:
+    cand = _hash32(src.astype(jnp.int32), dst.astype(jnp.int32))
+    pos = jnp.searchsorted(keys_sorted, cand)
+    pos = jnp.clip(pos, 0, keys_sorted.shape[0] - 1)
+    return keys_sorted[pos] == cand
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def global_neg_sample(rng, keys_sorted, n_node: int, num_samples: int,
+                      num_neg: int, rounds: int = 3):
+    """[num_samples, num_neg, 2] uniform non-edges."""
+    total = num_samples * num_neg
+
+    def draw(k):
+        k1, k2 = jax.random.split(k)
+        src = jax.random.randint(k1, (total,), 0, n_node)
+        dst = jax.random.randint(k2, (total,), 0, n_node)
+        return src, dst
+
+    src, dst = draw(rng)
+    for i in range(rounds):
+        rng = jax.random.fold_in(rng, i + 1)
+        bad = _is_member(keys_sorted, src, dst)
+        s2, d2 = draw(rng)
+        src = jnp.where(bad, s2, src)
+        dst = jnp.where(bad, d2, dst)
+    return jnp.stack([src, dst], axis=-1).reshape(num_samples, num_neg, 2)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def global_perm_neg_sample(rng, keys_sorted, n_node: int, num_samples: int,
+                           num_neg: int):
+    """One uniform non-edge batch + (num_neg-1) permuted copies
+    (negative_sample.py:21-26,42-57)."""
+    base = global_neg_sample(rng, keys_sorted, n_node, num_samples, 1)
+    base = base[:, 0, :]  # [num_samples, 2]
+    outs = [base]
+    for i in range(num_neg - 1):
+        k = jax.random.fold_in(rng, 100 + i)
+        perm = jax.random.permutation(k, num_samples)
+        outs.append(base[perm])
+    return jnp.stack(outs, axis=1)  # [num_samples, num_neg, 2]
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def local_neg_sample(rng, pos_edges, n_node: int, num_neg: int,
+                     random_src: bool = False):
+    """Fixed src (or random endpoint), uniform dst
+    (negative_sample.py:28-40)."""
+    b = pos_edges.shape[0]
+    if random_src:
+        side = jax.random.randint(jax.random.fold_in(rng, 0), (b,), 0, 2)
+        src = jnp.take_along_axis(pos_edges, side[:, None], axis=1)[:, 0]
+    else:
+        src = pos_edges[:, 0]
+    src = jnp.repeat(src[:, None], num_neg, axis=1).reshape(-1)
+    dst = jax.random.randint(
+        jax.random.fold_in(rng, 1), (num_neg * b,), 0, n_node
+    )
+    return jnp.stack([src, dst], axis=-1).reshape(b, num_neg, 2)

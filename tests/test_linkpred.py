@@ -1,0 +1,132 @@
+"""Link-prediction stack: samplers, losses, metrics, encoders, end-to-end."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_tail_generalization_tpu.graph import core
+from gnn_tail_generalization_tpu.linkpred import (
+    losses, metrics, model as lpm, sampling,
+)
+from gnn_tail_generalization_tpu.linkpred.encoders import GNNEncoder
+
+
+def ring_graph(n=50):
+    src = np.arange(n)
+    dst = (src + 1) % n
+    return core.symmetrize(np.stack([src, dst]), n)
+
+
+def test_global_neg_sample_avoids_edges(rng):
+    n = 30
+    e = ring_graph(n)
+    keys = jnp.asarray(sampling.edge_keys(e, n))
+    neg = sampling.global_neg_sample(jax.random.PRNGKey(0), keys, n, 64, 3)
+    assert neg.shape == (64, 3, 2)
+    neg2 = np.asarray(neg).reshape(-1, 2)
+    ek = set(np.asarray(sampling.edge_keys(e, n)).tolist())
+    bad = sum(1 for s, d in neg2 if s * n + d in ek)
+    assert bad <= 2  # fixed-rounds resampling: collisions vanishingly rare
+
+
+def test_local_neg_sample_shape():
+    pos = jnp.asarray(np.stack([np.arange(10), np.arange(10) + 1], axis=1))
+    neg = sampling.local_neg_sample(jax.random.PRNGKey(0), pos, 30, 4)
+    assert neg.shape == (10, 4, 2)
+    np.testing.assert_array_equal(
+        np.asarray(neg[:, :, 0]), np.tile(np.arange(10)[:, None], (1, 4))
+    )
+
+
+def test_losses_match_formulas(rng):
+    pos = jnp.asarray(rng.normal(size=12).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=36).astype(np.float32))
+    auc = float(losses.auc_loss(pos, neg, 3))
+    expect = np.square(
+        1 - (np.asarray(pos).reshape(-1, 1) - np.asarray(neg).reshape(-1, 3))
+    ).sum()
+    np.testing.assert_allclose(auc, expect, rtol=1e-5)
+    ce = float(losses.ce_loss(pos, neg))
+    sig = lambda v: 1 / (1 + np.exp(-np.asarray(v)))
+    expect = -np.log(sig(pos) + 1e-15).mean() - np.log(1 - sig(neg) + 1e-15).mean()
+    np.testing.assert_allclose(ce, expect, rtol=1e-5)
+
+
+def test_hits_and_mrr():
+    pos = jnp.asarray([5.0, 3.0, 1.0])
+    neg = jnp.asarray([4.0, 2.0, 0.0, -1.0])
+    # hits@2: threshold = 2.0 -> pos > 2 are {5, 3} -> 2/3
+    np.testing.assert_allclose(metrics.hits_at_k(pos, neg, 2), 2 / 3, rtol=1e-6)
+    # mrr with per-pos negs
+    negs = jnp.asarray([[4.0, 2.0], [4.0, 2.0], [4.0, 2.0]])
+    # ranks: pos=5 -> 1; pos=3 -> 2; pos=1 -> 3
+    np.testing.assert_allclose(
+        metrics.mrr(pos, negs), np.mean([1, 1 / 2, 1 / 3]), rtol=1e-6
+    )
+
+
+def test_recall_topk():
+    pos = jnp.asarray([3.0, 2.0])
+    neg = jnp.asarray([2.5, 1.0, 0.5])
+    # k = n_pos = 2: top2 = [3.0, 2.5] -> 1 positive / 2
+    np.testing.assert_allclose(metrics.cal_recall(pos, neg), 0.5, rtol=1e-6)
+    # k = 1.5 * 2 = 3: top3 = [3, 2.5, 2] -> 2 positives / 2
+    np.testing.assert_allclose(metrics.cal_recall(pos, neg, 1.5), 1.0, rtol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["MLP", "SAGE", "GCN", "WSAGE", "Transformer"])
+def test_encoders_run(rng, kind):
+    n = 40
+    e = ring_graph(n)
+    g = core.build_graph(e, n)
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    enc = GNNEncoder(kind=kind, hidden_channels=16, out_channels=16,
+                     num_layers=2, dropout=0.1)
+    vs = enc.init({"params": jax.random.PRNGKey(0)}, g, x, train=False)
+    h = enc.apply(vs, g, x, train=False)
+    assert h.shape == (n, 16)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_transformer_attention_sums_to_one(rng):
+    n = 20
+    e = ring_graph(n)
+    g = core.build_graph(e, n)
+    # attention output of constant v should equal v itself + skip
+    from gnn_tail_generalization_tpu.linkpred.encoders import TransformerConv
+
+    x = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    conv = TransformerConv(out_channels=8)
+    vs = conv.init(jax.random.PRNGKey(0), g, x)
+    h = conv.apply(vs, g, x)
+    assert np.isfinite(np.asarray(h)).all()
+
+
+def test_linkpred_end_to_end(rng):
+    n = 60
+    # two communities with dense intra-links
+    a = rng.integers(0, 30, 300)
+    b = rng.integers(0, 30, 300)
+    e = np.concatenate(
+        [np.stack([a, b]), np.stack([a + 30, b + 30])], axis=1
+    )
+    e = core.remove_self_loops(core.symmetrize(e, n))
+    cfg = lpm.LinkPredConfig(encoder="SAGE", predictor="DOT",
+                             loss_func="ce_loss", batch_size=128,
+                             num_neg=2, eval_metric="hits")
+    out = lpm.train_linkpred(cfg, None, e, n, epochs=3, runs=1,
+                             seed=0)
+    assert "Hits@20" in out["last_results"]
+    stats = out["stats"]
+    assert np.isfinite(stats["test_mean"])
+
+
+def test_linkpred_mlp_encoder_with_feats(rng):
+    n = 40
+    e = ring_graph(n)
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    cfg = lpm.LinkPredConfig(encoder="MLP", predictor="MLP",
+                             use_node_feats=True, train_node_emb=False,
+                             batch_size=64, num_neg=2, eval_metric="mrr")
+    out = lpm.train_linkpred(cfg, x, e, n, epochs=2, runs=1)
+    assert "MRR" in out["last_results"]

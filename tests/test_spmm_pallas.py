@@ -1,0 +1,85 @@
+"""Pallas segment-matmul SpMM vs dense reference (interpreter mode on CPU)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnn_tail_generalization_tpu.graph import core
+from gnn_tail_generalization_tpu.ops import spmm_pallas as sp
+
+
+def random_graph(rng, n=100, e=700):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    g = core.build_graph(np.stack([src, dst]), n, edge_weight=w,
+                         with_dense=False)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (dst, src), w)
+    return g, dense
+
+
+def test_plan_construction(rng):
+    g, _ = random_graph(rng)
+    plan = sp.build_plan(
+        np.asarray(g.senders), np.asarray(g.receivers),
+        np.asarray(g.edge_weight), g.n_node, rb=16, eb=128,
+    )
+    assert plan.n_blocks == (100 + 15) // 16
+    assert (np.asarray(plan.dst_local) < plan.rb).all()
+    # every block has exactly one first chunk
+    blocks = np.asarray(plan.block_of_chunk)
+    firsts = np.asarray(plan.first_of_block)
+    for b in range(plan.n_blocks):
+        assert firsts[blocks == b].sum() == 1
+        assert firsts[blocks == b][0] == 1
+
+
+def test_spmm_via_plan_matches_dense(rng):
+    g, dense = random_graph(rng)
+    x = rng.normal(size=(100, 48)).astype(np.float32)  # d padded to 128
+    plan = sp.build_plan(
+        np.asarray(g.senders), np.asarray(g.receivers),
+        np.asarray(g.edge_weight), g.n_node, rb=16, eb=128,
+    )
+    y = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_pallas_pair_grad(rng):
+    g, dense = random_graph(rng, n=60, e=300)
+    x = rng.normal(size=(60, 32)).astype(np.float32)
+    ct = rng.normal(size=(60, 32)).astype(np.float32)
+    plans = sp.build_plans_from_graph(g, rb=16, eb=128)
+
+    def f(x):
+        return jnp.vdot(sp.spmm_pallas_pair(plans, x, True), jnp.asarray(ct))
+
+    y = sp.spmm_pallas_pair(plans, jnp.asarray(x), True)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-4)
+    dx = jax.grad(f)(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dx), dense.T @ ct, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_hub_rows_many_chunks(rng):
+    """Power-law stress: one hub row with hundreds of in-edges spans many
+    chunks of one block."""
+    n = 40
+    hub_edges = 500
+    src = rng.integers(0, n, hub_edges)
+    dst = np.full(hub_edges, 7)
+    extra_src = rng.integers(0, n, 100)
+    extra_dst = rng.integers(0, n, 100)
+    e = np.stack([np.concatenate([src, extra_src]),
+                  np.concatenate([dst, extra_dst])])
+    g = core.build_graph(e, n, with_dense=False)
+    dense = np.zeros((n, n))
+    np.add.at(dense, (e[1], e[0]), 1.0)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    plan = sp.build_plan(
+        np.asarray(g.senders), np.asarray(g.receivers),
+        np.asarray(g.edge_weight), n, rb=8, eb=128,
+    )
+    assert plan.n_chunks > plan.n_blocks  # hub forced multiple chunks
+    y = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-4)
