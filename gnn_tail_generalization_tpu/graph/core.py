@@ -52,6 +52,7 @@ def round_up(x: int, m: int) -> int:
         "deg_out",
         "deg_in",
         "dense_adj",
+        "plans",
     ],
     meta_fields=["n_node", "n_edge"],
 )
@@ -80,8 +81,11 @@ class Graph:
     deg_out: jax.Array  # [N] float32, includes self loops and duplicates
     deg_in: jax.Array  # [N] float32
     dense_adj: Optional[jax.Array]
-    n_node: int
-    n_edge: int
+    #: optional (fwd, transposed) ops.spmm_pallas.SegmentMatmulPlan pair for
+    #: the Pallas SpMM path (built host-side via build_graph(with_plans=True))
+    plans: Optional[tuple] = None
+    n_node: int = 0
+    n_edge: int = 0
 
     @property
     def e_pad(self) -> int:
@@ -91,6 +95,7 @@ class Graph:
         """The reversed-edge graph (dst-sorted view is the *_t arrays)."""
         dense_t = None if self.dense_adj is None else self.dense_adj.T
         inv = jnp.argsort(self.t_from_fwd)
+        plans_t = None if self.plans is None else (self.plans[1], self.plans[0])
         return Graph(
             senders=self.senders_t,
             receivers=self.receivers_t,
@@ -102,6 +107,7 @@ class Graph:
             deg_out=self.deg_in,
             deg_in=self.deg_out,
             dense_adj=dense_t,
+            plans=plans_t,
             n_node=self.n_node,
             n_edge=self.n_edge,
         )
@@ -121,7 +127,8 @@ class Graph:
                 self.senders, self.receivers, w, self.n_node
             )
         return dataclasses.replace(
-            self, edge_weight=w, edge_weight_t=w_t, dense_adj=dense
+            self, edge_weight=w, edge_weight_t=w_t, dense_adj=dense,
+            plans=None,
         )
 
 
@@ -210,6 +217,7 @@ def build_graph(
     pad_to: Optional[int] = None,
     dense_threshold: int = 8192,
     with_dense: Optional[bool] = None,
+    with_plans: bool = False,
 ) -> Graph:
     """Build the device Graph from a host edge list.
 
@@ -268,6 +276,12 @@ def build_graph(
         np.add.at(dense_np, (e[1], e[0]), w)
         dense = jnp.asarray(dense_np)
 
+    plans = None
+    if with_plans:
+        from ..ops.spmm_pallas import build_plans
+
+        plans = build_plans(e, n_node, w)
+
     return Graph(
         senders=senders,
         receivers=receivers,
@@ -279,6 +293,7 @@ def build_graph(
         deg_out=jnp.asarray(deg_out),
         deg_in=jnp.asarray(deg_in),
         dense_adj=dense,
+        plans=plans,
         n_node=n_node,
         n_edge=n_edge,
     )

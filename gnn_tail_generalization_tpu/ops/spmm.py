@@ -70,9 +70,11 @@ def _spmm_impl(g: Graph, x, method: str, precision):
     if method == "gather":
         return _spmm_gather(g.senders, g.receivers, g.edge_weight, x, g.n_node)
     if method == "pallas":
-        from .spmm_pallas import spmm_pallas
+        from .spmm_pallas import spmm_via_plan
 
-        return spmm_pallas(g, x)
+        assert g.plans is not None, \
+            "build the graph with with_plans=True for the pallas path"
+        return spmm_via_plan(g.plans[0], x)
     raise ValueError(f"unknown spmm method {method!r}")
 
 
@@ -87,28 +89,17 @@ def _spmm_fwd(g, x, method, precision):
 
 
 def _spmm_bwd(method, precision, res, dy):
+    import dataclasses
+
     g, x = res
     dx = _spmm_impl(g.transpose(), dy, method, precision)
     # Cotangent for the graph: only edge_weight can meaningfully carry grad
-    # (dw_e = dy[dst] . x[src], an SDDMM); index/degree arrays get zeros.
+    # (dw_e = dy[dst] . x[src], an SDDMM); everything else gets zeros.
     dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(
         g.edge_weight.dtype
     )
-    zero_like = lambda a: None if a is None else jnp.zeros_like(a)
-    dg = Graph(
-        senders=jnp.zeros_like(g.senders),
-        receivers=jnp.zeros_like(g.receivers),
-        edge_weight=dw,
-        senders_t=jnp.zeros_like(g.senders_t),
-        receivers_t=jnp.zeros_like(g.receivers_t),
-        edge_weight_t=jnp.zeros_like(g.edge_weight_t),
-        t_from_fwd=jnp.zeros_like(g.t_from_fwd),
-        deg_out=jnp.zeros_like(g.deg_out),
-        deg_in=jnp.zeros_like(g.deg_in),
-        dense_adj=zero_like(g.dense_adj),
-        n_node=g.n_node,
-        n_edge=g.n_edge,
-    )
+    dg = jax.tree.map(jnp.zeros_like, g)
+    dg = dataclasses.replace(dg, edge_weight=dw)
     return dg, dx
 
 

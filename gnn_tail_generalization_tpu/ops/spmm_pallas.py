@@ -58,8 +58,8 @@ class SegmentMatmulPlan:
     """Chunked edge layout for the kernel (host-built, device-resident)."""
 
     senders: jax.Array  # [n_chunks * eb] int32, gather indices (pad -> 0)
-    dst_local: jax.Array  # [n_chunks, eb] int32 in [0, rb)
-    weights: jax.Array  # [n_chunks, eb] f32 (0 on padding)
+    dst_local: jax.Array  # [n_chunks * eb] int32 in [0, rb)
+    weights: jax.Array  # [n_chunks * eb] f32 (0 on padding)
     block_of_chunk: jax.Array  # [n_chunks] int32
     first_of_block: jax.Array  # [n_chunks] int32 (1 = first chunk of block)
     n_node: int
@@ -116,8 +116,8 @@ def build_plan(
 
     return SegmentMatmulPlan(
         senders=jnp.asarray(senders.reshape(-1)),
-        dst_local=jnp.asarray(dst_local),
-        weights=jnp.asarray(ws),
+        dst_local=jnp.asarray(dst_local.reshape(-1)),
+        weights=jnp.asarray(ws.reshape(-1)),
         block_of_chunk=jnp.asarray(block_of_chunk),
         first_of_block=jnp.asarray(first_of_block),
         n_node=n_node,
@@ -136,8 +136,8 @@ def _segment_matmul_kernel(block_ref, first_ref, dst_ref, w_ref, g_ref,
     def _():
         y_ref[:] = jnp.zeros_like(y_ref)
 
-    dst = dst_ref[0, :]  # [eb] int32
-    w = w_ref[0, :]  # [eb] f32
+    dst = dst_ref[:]  # [eb] int32
+    w = w_ref[:]  # [eb] f32
     rows = jax.lax.broadcasted_iota(jnp.int32, (rb, dst.shape[0]), 0)
     s = jnp.where(rows == dst[None, :], w[None, :], 0.0)  # [rb, eb]
     y_ref[:] += jnp.dot(
@@ -160,10 +160,10 @@ def segment_matmul(plan: SegmentMatmulPlan, g: jax.Array,
         num_scalar_prefetch=2,  # block_of_chunk, first_of_block
         grid=(plan.n_chunks,),
         in_specs=[
-            pl.BlockSpec((1, eb), lambda i, blk, first: (i, 0),
-                         memory_space=pltpu.VMEM),  # dst_local
-            pl.BlockSpec((1, eb), lambda i, blk, first: (i, 0),
-                         memory_space=pltpu.VMEM),  # weights
+            pl.BlockSpec((eb,), lambda i, blk, first: (i,),
+                         memory_space=pltpu.VMEM),  # dst_local (flat)
+            pl.BlockSpec((eb,), lambda i, blk, first: (i,),
+                         memory_space=pltpu.VMEM),  # weights (flat)
             pl.BlockSpec((eb, d), lambda i, blk, first: (i, 0),
                          memory_space=pltpu.VMEM),  # g chunk
         ],
@@ -223,9 +223,26 @@ def _pair_bwd(interpret, compute_dtype, plans, dy):
 spmm_pallas_pair.defvjp(_pair_fwd, _pair_bwd)
 
 
+def build_plans(edge_index: np.ndarray, n_node: int,
+                edge_weight: Optional[np.ndarray] = None,
+                rb: int = 128, eb: int = 512):
+    """(fwd, transposed) plans from a HOST edge list [2, E]. Always build
+    plans from host data: pulling edge arrays back off the device is a
+    device->host transfer (pathologically slow on tunneled backends)."""
+    e = np.asarray(edge_index, np.int64)
+    w = (np.ones(e.shape[1], np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32))
+    of = np.argsort(e[1], kind="stable")
+    fwd = build_plan(e[0][of], e[1][of], w[of], n_node, rb, eb)
+    ot = np.argsort(e[0], kind="stable")
+    bwd = build_plan(e[1][ot], e[0][ot], w[ot], n_node, rb, eb)
+    return fwd, bwd
+
+
 def build_plans_from_graph(g, rb: int = 128, eb: int = 512):
-    """(fwd, transposed) plans from a graph/core.Graph — uses its dst-sorted
-    and src-sorted edge views."""
+    """(fwd, transposed) plans from a graph/core.Graph. NOTE: forces
+    device->host copies of the edge arrays — prefer build_plans with the
+    host edge list."""
     fwd = build_plan(
         np.asarray(g.senders), np.asarray(g.receivers),
         np.asarray(g.edge_weight), g.n_node, rb, eb,

@@ -1,0 +1,111 @@
+"""Label propagation, C&S, diffusion features, spectral embedding."""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gnn_tail_generalization_tpu.config import build_config
+from gnn_tail_generalization_tpu.data.datasets import NodeData, prepare
+from gnn_tail_generalization_tpu.graph import core
+from gnn_tail_generalization_tpu.propagation import correlation as corr
+from gnn_tail_generalization_tpu.propagation import cs, diffusion
+
+
+def two_cluster_data(rng, n=120, intra=400):
+    h = n // 2
+    a = rng.integers(0, h, intra)
+    b = rng.integers(0, h, intra)
+    e = np.concatenate(
+        [np.stack([a, b]), np.stack([a + h, b + h]),
+         np.stack([[0], [h]])], axis=1,
+    )
+    e = core.remove_self_loops(core.symmetrize(e, n))
+    y = np.concatenate([np.zeros(h), np.ones(h)]).astype(np.int64)
+    x = rng.normal(size=(n, 6)).astype(np.float32)
+    x[:, 0] += y * 2
+    train = rng.random(n) < 0.4
+    return NodeData(x=x, y=y, edge_index=e, train_mask=train,
+                    val_mask=(~train) & (rng.random(n) < 0.5),
+                    test_mask=None, name="two-cluster")
+
+
+def test_outcome_correlation_converges_to_labels(rng):
+    data = two_cluster_data(rng)
+    n = 120
+    dad, da, ad = corr.gen_normalized_adjs(data.edge_index, n)
+    y = jnp.asarray(data.y)
+    out = corr.label_propagation(
+        y, jnp.asarray(np.where(data.train_mask)[0]), dad, 0.5, 50, 2)
+    pred = np.asarray(out.argmax(axis=1))
+    acc = (pred[~data.train_mask] == data.y[~data.train_mask]).mean()
+    assert acc > 0.9
+
+
+def test_gen_normalized_adjs_rowsums():
+    e = np.array([[0, 1, 2, 0], [1, 2, 0, 2]])
+    dad, da, ad = corr.gen_normalized_adjs(e, 3)
+    x = jnp.ones((3, 1))
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    # DA is row-stochastic: D^-1 A -> row sums 1
+    np.testing.assert_allclose(np.asarray(spmm(da, x)), 1.0, rtol=1e-5)
+
+
+def test_double_correlation_autoscale_shapes(rng):
+    data = two_cluster_data(rng)
+    n = 120
+    dad, da, ad = corr.gen_normalized_adjs(data.edge_index, n)
+    y = jnp.asarray(data.y)
+    model_out = jax.nn.softmax(
+        jnp.asarray(rng.normal(size=(n, 2)).astype(np.float32)), axis=1)
+    idx = jnp.asarray(np.where(data.train_mask)[0])
+    res, out = corr.double_correlation_autoscale(
+        y, model_out, idx, idx, da, 0.9, 10, ad, 0.7, 10, 2)
+    assert out.shape == (n, 2)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_diffusion_features(rng):
+    data = two_cluster_data(rng)
+    for m in ["sgc", "diffusion", "lp"]:
+        f = diffusion.preprocess(
+            m, data.x, data.edge_index, 120, labels=data.y,
+            train_idx=np.where(data.train_mask)[0], num_propagations=5)
+        assert f.shape[0] == 120
+        assert np.isfinite(f).all(), m
+
+
+def test_spectral_embedding_shape_and_finite(rng):
+    data = two_cluster_data(rng)
+    emb = diffusion.spectral_embedding(data.edge_index, 120, k=16)
+    assert emb.shape == (120, 16)
+    assert np.isfinite(emb).all()
+    # eigenvector columns ~ orthonormal after rotation
+    gram = emb.T @ emb
+    np.testing.assert_allclose(np.diag(gram), 1.0, atol=1e-3)
+
+
+def test_community_features(rng):
+    data = two_cluster_data(rng)
+    f = diffusion.community_features(data.edge_index, 120)
+    assert f.shape[0] == 120
+    assert (f.sum(axis=1) == 1).all()
+    # two clusters should be (mostly) separated
+    assert f.shape[1] >= 2
+
+
+def test_cs_pipeline_end_to_end(rng):
+    data = two_cluster_data(rng)
+    cfg = build_config(dataset="", train_which="LP",
+                       force_set_to_best_config=False)
+    cfg = dataclasses.replace(
+        cfg, N_nodes=120, num_feats=6, num_classes=2,
+        use_special_split=False, lr=0.01,
+    )
+    import dataclasses as dc
+    cfg = dc.replace(cfg, preStep=dc.replace(cfg.preStep,
+                                             pre_methods="diffusion"))
+    pd = prepare(data, cfg)
+    out = cs.run_cs_pipeline(cfg, pd, epochs=30)
+    assert out["acc_test"] > 70.0
