@@ -92,7 +92,10 @@ def prepare(data: NodeData, cfg: Config, *, spmm_dense_threshold: int = 8192
         if cfg.use_special_split:
             e_crafted, _ = analysis.craft_isolation(e, splits.zero_deg_mask)
 
-    g = build_graph(e_crafted, n, dense_threshold=spmm_dense_threshold)
+    g = build_graph(
+        e_crafted, n, dense_threshold=spmm_dense_threshold,
+        with_plans=n > spmm_dense_threshold,  # Pallas path for large graphs
+    )
 
     return PreparedData(
         x=np.asarray(data.x, np.float32),

@@ -75,7 +75,7 @@ def build_plan(
     weights: Optional[np.ndarray],
     n_node: int,
     rb: int = 128,
-    eb: int = 512,
+    eb: int = 1024,
 ) -> SegmentMatmulPlan:
     """Edges MUST be sorted by receiver. Pads each row block's edge list to a
     multiple of eb."""
@@ -225,7 +225,7 @@ spmm_pallas_pair.defvjp(_pair_fwd, _pair_bwd)
 
 def build_plans(edge_index: np.ndarray, n_node: int,
                 edge_weight: Optional[np.ndarray] = None,
-                rb: int = 128, eb: int = 512):
+                rb: int = 128, eb: int = 1024):
     """(fwd, transposed) plans from a HOST edge list [2, E]. Always build
     plans from host data: pulling edge arrays back off the device is a
     device->host transfer (pathologically slow on tunneled backends)."""
@@ -239,7 +239,7 @@ def build_plans(edge_index: np.ndarray, n_node: int,
     return fwd, bwd
 
 
-def build_plans_from_graph(g, rb: int = 128, eb: int = 512):
+def build_plans_from_graph(g, rb: int = 128, eb: int = 1024):
     """(fwd, transposed) plans from a graph/core.Graph. NOTE: forces
     device->host copies of the edge arrays — prefer build_plans with the
     host edge list."""
