@@ -151,7 +151,7 @@ def make_naive_step(cfg, pd):
     return step, params, opt_state, const
 
 
-def time_step(step, params, opt_state, const, iters=16):
+def time_step(step, params, opt_state, const, iters=8):
     """Run ``iters`` optimizer steps inside ONE jitted lax.scan so tunnel
     dispatch latency does not pollute the per-step timing. Device data rides
     in as an argument (never a closure constant)."""

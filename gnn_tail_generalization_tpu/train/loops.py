@@ -108,6 +108,11 @@ def train_teacher(
             const["zero"] = zero
 
     model = TeacherGNN(cfg)
+    ew_fn = None
+    if cfg.has_loss_component_edgewise:
+        from .edgewise import build_edgewise_plan, make_edgewise_loss_fn
+
+        ew_fn = make_edgewise_loss_fn(build_edgewise_plan(cfg, data))
     root = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(root)
     variables = jax.jit(
@@ -130,19 +135,28 @@ def train_teacher(
         out, new_vars = model.apply(
             vs, c["g"], c["x"], train=True, rngs=rngs, mutable=mutable
         )
-        _, classi, se_reg_all, _ = out
-        loss = _nll_masked(classi, c["y"], c["train_mask"]) \
-            * cfg.TeacherGNN.lossa_semantic
+        common, classi, se_reg_all, _ = out
+        loss = 0.0
+        linkp_train = 0.0
+        if cfg.has_loss_component_nodewise:
+            loss = _nll_masked(classi, c["y"], c["train_mask"]) \
+                * cfg.TeacherGNN.lossa_semantic
         if se_reg_all is not None:
             loss = loss + cfg.se_reg * se_reg_all
+        if ew_fn is not None:
+            # linkp uses the full (unmasked) embedding (trainer:418)
+            l_struct, linkp_train = ew_fn(
+                common, jax.random.fold_in(rng, 2), "train"
+            )
+            loss = loss + l_struct * cfg.TeacherGNN.lossa_structure
         new_bs = new_vars.get("batch_stats") if mutable else batch_stats
-        return loss, (new_bs,)
+        return loss, (new_bs, linkp_train)
 
     @jax.jit
     def step(params, batch_stats, opt_state, rng, c):
-        (loss, (new_bs,)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, rng, c
-        )
+        (loss, (new_bs, linkp_train)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params, batch_stats, rng, c)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
 
@@ -162,13 +176,20 @@ def train_teacher(
                 headtail_accuracies(classi, y, train_mask, c["large"],
                                     c["small"], c.get("zero"))
             )
+        if ew_fn is not None:
+            common_eval = model.apply(vs, c["g"], c["x"], train=False)[0]
+            _, linkp_test = ew_fn(
+                common_eval, jax.random.fold_in(rng, 5), "test"
+            )
+            metrics["linkp_train"] = linkp_train
+            metrics["linkp_test"] = linkp_test
         return params, new_bs, opt_state, metrics
 
     cols = ["loss_train", "acc_train", "acc_test"] + (
         ["head", "tail"] + (["iso"] if zero is not None else [])
         if want_ht
         else []
-    )
+    ) + (["linkp_train", "linkp_test"] if ew_fn is not None else [])
     records = np.zeros((epochs, len(cols)), np.float64)
     keep_best = "SEMLP" in cfg.train_which
     best_acc, best_params, best_bs = -1.0, None, None
