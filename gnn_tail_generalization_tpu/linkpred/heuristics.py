@@ -1,0 +1,110 @@
+"""Heuristic link scorers: Common Neighbors, Adamic-Adar, Personalized PageRank.
+
+Reference parity: ``/root/reference/Link_prediction_baseline/heuristics.py``
+- CN (107-115):  score(u,v) = sum_w A[u,w] * A[v,w]
+- AA (117-129):  score(u,v) = sum_w A[u,w] * A[v,w] / log(deg(w))
+  (column-degree log weighting, inf -> 0)
+- PPR (131-163): power-iteration personalized PageRank from each unique
+  source, scored at the destinations (the fast-pagerank dependency is
+  replaced by an in-house sparse power iteration)
+
+Host-side scipy batch computation (these are one-shot evaluators in the
+reference too); scores return in the edge order given.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import scipy.sparse as ssp
+
+
+def adjacency(edge_index: np.ndarray, n_node: int,
+              edge_weight: Optional[np.ndarray] = None) -> ssp.csr_matrix:
+    e = np.asarray(edge_index)
+    w = np.ones(e.shape[1]) if edge_weight is None else np.asarray(edge_weight)
+    return ssp.csr_matrix((w, (e[0], e[1])), shape=(n_node, n_node))
+
+
+def common_neighbors(a: ssp.csr_matrix, edge_index: np.ndarray,
+                     batch_size: int = 100_000) -> np.ndarray:
+    e = np.asarray(edge_index)
+    out = []
+    for lo in range(0, e.shape[1], batch_size):
+        src = e[0, lo:lo + batch_size]
+        dst = e[1, lo:lo + batch_size]
+        out.append(np.asarray(a[src].multiply(a[dst]).sum(axis=1)).ravel())
+    return np.concatenate(out) if out else np.zeros(0)
+
+
+def adamic_adar(a: ssp.csr_matrix, edge_index: np.ndarray,
+                batch_size: int = 100_000) -> np.ndarray:
+    with np.errstate(divide="ignore"):
+        mult = 1.0 / np.log(np.asarray(a.sum(axis=0)).ravel())
+    mult[np.isinf(mult)] = 0
+    a_w = a.multiply(mult).tocsr()
+    e = np.asarray(edge_index)
+    out = []
+    for lo in range(0, e.shape[1], batch_size):
+        src = e[0, lo:lo + batch_size]
+        dst = e[1, lo:lo + batch_size]
+        out.append(np.asarray(a[src].multiply(a_w[dst]).sum(axis=1)).ravel())
+    return np.concatenate(out) if out else np.zeros(0)
+
+
+def _pagerank_power(a: ssp.csr_matrix, personalize: np.ndarray,
+                    p: float = 0.85, tol: float = 1e-7,
+                    max_iter: int = 200) -> np.ndarray:
+    """Power iteration PPR on the column-stochastic transition of A."""
+    n = a.shape[0]
+    deg = np.asarray(a.sum(axis=1)).ravel()
+    dinv = np.where(deg > 0, 1.0 / deg, 0.0)
+    w = ssp.diags(dinv) @ a  # row-stochastic
+    s = personalize / personalize.sum()
+    x = s.copy()
+    dangling = deg == 0
+    for _ in range(max_iter):
+        x_new = p * (w.T @ x + (x[dangling]).sum() * s) + (1 - p) * s
+        if np.abs(x_new - x).sum() < tol:
+            x = x_new
+            break
+        x = x_new
+    return x
+
+
+def ppr_scores(a: ssp.csr_matrix, edge_index: np.ndarray,
+               p: float = 0.85, tol: float = 1e-7) -> np.ndarray:
+    """PPR from each unique source, scored at its destinations
+    (heuristics.py:131-163); returns scores in the ORIGINAL edge order
+    (the reference returns them src-sorted — callers there re-zip with the
+    returned reordered edge list; here the re-zip is internal)."""
+    e = np.asarray(edge_index)
+    order = np.argsort(e[0], kind="stable")
+    scores_sorted = np.zeros(e.shape[1])
+    i = 0
+    src_sorted = e[0][order]
+    dst_sorted = e[1][order]
+    n = a.shape[0]
+    while i < len(src_sorted):
+        j = i
+        while j < len(src_sorted) and src_sorted[j] == src_sorted[i]:
+            j += 1
+        personalize = np.zeros(n)
+        personalize[src_sorted[i]] = 1.0
+        ppr = _pagerank_power(a, personalize, p, tol)
+        scores_sorted[i:j] = ppr[dst_sorted[i:j]]
+        i = j
+    out = np.zeros_like(scores_sorted)
+    out[order] = scores_sorted
+    return out
+
+
+_HEURISTICS = {"CN": common_neighbors, "AA": adamic_adar, "PPR": ppr_scores}
+
+
+def heuristic_scores(name: str, edge_index_graph: np.ndarray, n_node: int,
+                     edges_to_score: np.ndarray,
+                     edge_weight: Optional[np.ndarray] = None) -> np.ndarray:
+    """eva_heuristics_v2_dec25 (heuristics.py:10-29)."""
+    a = adjacency(edge_index_graph, n_node, edge_weight)
+    return _HEURISTICS[name](a, np.asarray(edges_to_score))
