@@ -19,12 +19,19 @@ backward, i.e. what a straight port of the reference's torch code to JAX
 would do. >1.0 means the framework's sorted-CSR custom-VJP path wins.
 """
 import json
+import sys
 import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+_T0 = time.time()
+
+
+def _log(*a):
+    print(f"[bench {time.time()-_T0:6.1f}s]", *a, file=sys.stderr, flush=True)
 
 
 def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
@@ -184,14 +191,19 @@ def time_step(step, params, opt_state, const, iters=8):
 
 def main():
     cfg, pd = build_workload()
+    _log("workload built", pd.graph.n_edge, "edges")
     n_edges = pd.graph.n_edge
     num_layers = cfg.num_layers
 
     fw_step, fw_p, fw_o, fw_c = make_framework_step(cfg, pd)
+    _log("framework step built (init compiled)")
     t_fw = time_step(fw_step, fw_p, fw_o, fw_c)
+    _log(f"framework timed: {t_fw*1e3:.2f} ms/step")
 
     nv_step, nv_p, nv_o, nv_c = make_naive_step(cfg, pd)
+    _log("naive step built")
     t_nv = time_step(nv_step, nv_p, nv_o, nv_c)
+    _log(f"naive timed: {t_nv*1e3:.2f} ms/step")
 
     edges_per_s = n_edges * num_layers / t_fw
     print(json.dumps({

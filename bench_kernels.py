@@ -36,7 +36,7 @@ def main(n_node=169343, n_edge=1_166_243, d=256):
 
     e = core.standard_pipeline(fast_powerlaw_graph(n_node, n_edge, 0), n_node)
     g = core.build_graph(e, n_node, with_dense=False)
-    plans = sp.build_plans_from_graph(g)
+    plans = sp.build_plans(e, n_node)
     print(f"edges={g.n_edge} chunks={plans[0].n_chunks} "
           f"pad_ratio={plans[0].n_chunks * plans[0].eb / g.n_edge:.2f}")
 
