@@ -1,0 +1,68 @@
+"""Batch-run records: grid resumption tensor + per-curve npy persistence.
+
+Reference parity:
+- tensorRex (``/root/reference/main.py:54-124``): an N-D numpy record with a
+  done-flag channel; first call checks whether the grid cell is complete
+  (skip), second call persists results; tolerant to result-length drift
+  (fills to the stored epoch dim).
+- wzRec (``/root/reference/utils.py:1005-1051``): persists 1-D training
+  curves to ``<dir>/<title>.npy`` (matplotlib sides are dropped — curves
+  are data, plotting is the caller's business).
+"""
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+
+
+class TensorRex:
+    """N-D grid record with done flags, resumable across processes.
+
+    File layout: ``<path>`` stores an array of shape [*grid_shape,
+    record_len + 1]; the trailing channel is the done flag.
+    """
+
+    def __init__(self, path: str, grid_shape: Sequence[int],
+                 record_len: int):
+        self.path = path
+        self.grid_shape = tuple(grid_shape)
+        self.record_len = record_len
+        if os.path.exists(path):
+            self.arr = np.load(path)
+            assert self.arr.shape[:-1] == self.grid_shape, (
+                f"existing rex shape {self.arr.shape} vs {self.grid_shape}"
+            )
+        else:
+            self.arr = np.zeros(self.grid_shape + (record_len + 1,))
+
+    def is_done(self, cell: Sequence[int]) -> bool:
+        return bool(self.arr[tuple(cell)][-1] != 0)
+
+    def record(self, cell: Sequence[int], values: np.ndarray) -> None:
+        """Persist a finished cell. Values longer than record_len are
+        truncated, shorter ones zero-filled (main.py:100-116 tolerance)."""
+        v = np.asarray(values, dtype=float).reshape(-1)
+        out = np.zeros(self.record_len + 1)
+        n = min(len(v), self.record_len)
+        out[:n] = v[:n]
+        out[-1] = 1.0
+        self.arr[tuple(cell)] = out
+        os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+        np.save(self.path, self.arr)
+
+    def values(self, cell: Sequence[int]) -> np.ndarray:
+        return self.arr[tuple(cell)][:-1]
+
+
+def save_curve(curve: np.ndarray, title: str, npy_dir: str) -> str:
+    """wzRec npy persistence (utils.py:1005-1051)."""
+    os.makedirs(npy_dir, exist_ok=True)
+    path = os.path.join(npy_dir, f"{title}.npy")
+    np.save(path, np.asarray(curve))
+    return path
+
+
+def load_curve(title: str, npy_dir: str) -> np.ndarray:
+    return np.load(os.path.join(npy_dir, f"{title}.npy"))
