@@ -243,10 +243,18 @@ def train_linkpred(
     eval_steps: int = 1,
     seed: int = 0,
     log_every: int = 0,
+    split_edge: Optional[Dict] = None,
+    msg_edges: Optional[np.ndarray] = None,
 ) -> Dict[str, Any]:
-    """The run x epoch loop of trainer_link_prediction.py:215-431 (random
-    split setting)."""
-    split_edge, msg_edges = simple_split_edges(edge_index, n_node, seed=seed)
+    """The run x epoch loop of trainer_link_prediction.py:215-431. With
+    ``split_edge`` given (e.g. from linkpred/surgery.py transfer settings)
+    the provided split is used; otherwise a random split is made."""
+    if split_edge is None:
+        split_edge, msg_edges = simple_split_edges(edge_index, n_node,
+                                                   seed=seed)
+    elif msg_edges is None:
+        msg_edges = symmetrize(np.asarray(split_edge["train"]["edge"]).T,
+                               n_node)
     g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096)
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
