@@ -112,16 +112,34 @@ def prepare(data: NodeData, cfg: Config, *, spmm_dense_threshold: int = 8192
     )
 
 
-def load_dataset(cfg: Config, data_root: Optional[str] = None) -> NodeData:
-    """Registry: real Planetoid raw files when present under ``data_root``,
-    otherwise a deterministic synthetic stand-in with the preset shapes."""
-    from . import planetoid, synthetic
-
+def load_dataset(cfg: Config, data_root: Optional[str] = None,
+                 which_run: int = 0) -> NodeData:
+    """Registry mirroring load_data/load_ogbn
+    (trainer_node_classification.py:570-670): real raw files when present
+    under ``data_root``, otherwise a deterministic synthetic stand-in with
+    the preset shapes. WebKB/Actor/Wikipedia re-split per run block
+    (which_split = which_run // 10, trainer:645-651)."""
     if data_root is not None:
         try:
-            return planetoid.load_planetoid(data_root, cfg.dataset)
+            if cfg.dataset in ("Cora", "Citeseer", "Pubmed"):
+                from . import planetoid
+
+                return planetoid.load_planetoid(data_root, cfg.dataset)
+            if cfg.dataset == "ogbn-arxiv":
+                from . import ogb
+
+                return ogb.load_ogbn_arxiv(data_root)
+            if cfg.dataset in ("TEXAS", "WISCONSIN", "CORNELL", "ACTOR",
+                               "chameleon", "squirrel"):
+                from . import webkb
+
+                return webkb.load_webkb_like(
+                    data_root, cfg.dataset, which_split=which_run // 10
+                )
         except FileNotFoundError:
             pass
+    from . import synthetic
+
     return synthetic.synthetic_planetoid(
         n_node=cfg.N_nodes or 2708,
         n_feat=cfg.num_feats or 1433,
