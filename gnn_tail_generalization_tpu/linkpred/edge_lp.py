@@ -124,6 +124,82 @@ def run_logit_lp(scored_edges: np.ndarray, logits: jax.Array,
     return invsigmoid(out.reshape(-1))
 
 
+def run_xmc_lp(edge_index_graph: np.ndarray, n_node: int,
+               scored_edges: np.ndarray, logits: jax.Array,
+               n_pos_train: int, n_pos_total: int,
+               alpha: float = 0.995, num_propagations: int = 5,
+               col_chunk: int = 128) -> jax.Array:
+    """run_xmcLP (edge_LP.py:105-171): propagate the sigmoid logits laid out
+    as a sparse [N, N] matrix over the row-normalized NODE adjacency
+    (normalize_adj_v3: D^-1 A), guidance 1 at positive entries, then read
+    the entries back at the scored edges (invsigmoid to logits).
+
+    TPU-first: instead of sparse-sparse matmuls with growing fill-in, the
+    matrix is processed as dense column blocks over the UNIQUE destination
+    set — each block is a [N, chunk] dense propagation on the framework
+    SpMM; duplicate (src, dst) pairs are deduped before and re-fanned after
+    (the reference's remove_duplicate/add_duplicate bookkeeping,
+    edge_LP.py:116-169).
+    """
+    edges = np.asarray(scored_edges, np.int64)
+    m = edges.shape[0]
+    # --- dedup (keep first occurrence) ---
+    key = edges[:, 0] * n_node + edges[:, 1]
+    uniq_key, first_idx, inv = np.unique(key, return_index=True,
+                                         return_inverse=True)
+    ue = edges[first_idx]  # [mu, 2]
+
+    # scatter (max-combine like coalesce? reference coalesce sums; dedup
+    # keeps the FIRST logit — reproduced here)
+    logits_u = logits[jnp.asarray(first_idx)]
+    y0_vals = jax.nn.sigmoid(logits_u)
+    g_host = np.zeros(m, np.float32)
+    g_host[:n_pos_train] = 1.0
+    g_host[n_pos_train:n_pos_total] = 1.0  # valid+test positives (edge_LP:148)
+    g_vals = jnp.asarray(g_host[first_idx])
+
+    # node adjacency, row-normalized D^-1 A (normalize_adj_v3)
+    eg = np.asarray(edge_index_graph)
+    deg = np.bincount(eg[0], minlength=n_node).astype(np.float64)
+    dinv = np.where(deg > 0, 1.0 / deg, 0.0)
+    w = dinv[eg[0]].astype(np.float32)
+    adj = build_graph(np.stack([eg[1], eg[0]]), n_node, edge_weight=w,
+                      with_dense=False)
+
+    # unique destination columns
+    uniq_dst, dst_col = np.unique(ue[:, 1], return_inverse=True)
+    n_cols = len(uniq_dst)
+    src_u = jnp.asarray(ue[:, 0])
+    col_u = jnp.asarray(dst_col)
+
+    # pad columns to chunk multiple
+    n_chunks = (n_cols + col_chunk - 1) // col_chunk
+    out_vals = jnp.zeros(len(ue))
+
+    y0_dense_cols = jnp.zeros((n_node, n_cols), jnp.float32).at[
+        src_u, col_u].set(y0_vals)
+    g_dense_cols = jnp.zeros((n_node, n_cols), jnp.float32).at[
+        src_u, col_u].set(g_vals)
+
+    def propagate_block(yb, gb):
+        def body(_, r):
+            r = alpha * _spmm(adj, r) + (1 - alpha) * gb
+            return jnp.clip(r, 1e-9, 1 - 1e-9)
+
+        r = jax.lax.fori_loop(0, num_propagations, body, yb)
+        return yb * 0.998 + r * 2e-3
+
+    outs = []
+    for c in range(n_chunks):
+        lo, hi = c * col_chunk, min((c + 1) * col_chunk, n_cols)
+        outs.append(propagate_block(y0_dense_cols[:, lo:hi],
+                                    g_dense_cols[:, lo:hi]))
+    result = jnp.concatenate(outs, axis=1)  # [N, n_cols]
+    vals_u = result[src_u, col_u]
+    out = invsigmoid(vals_u)[jnp.asarray(inv)]  # re-fan duplicates
+    return out
+
+
 def run_emb_lp(scored_edges: np.ndarray, h: jax.Array,
                alpha: float = 0.995, num_propagations: int = 5,
                max_degree: int | None = 256) -> jax.Array:

@@ -54,6 +54,9 @@ class LinkPredConfig:
     use_node_feats: bool = False
     train_node_emb: bool = True
     eval_metric: str = "recall_my@1.25"
+    edge_lp_mode: str = ""  # '' | 'logit' | 'emb' | 'xmc' (model.py:208-239)
+    elp_alpha: float = 0.995
+    elp_num_propagations: int = 5
 
 
 class LinkPredModel(nn.Module):
@@ -351,7 +354,8 @@ def train_linkpred(
 
 
 def evaluate(cfg, model, params, const, split_edge, predict_all):
-    """model.test (model.py:187-266) for the random-split setting."""
+    """model.test (model.py:187-266) incl. the optional edge-level LP
+    post-processing (208-239)."""
     def scores(edges):
         return predict_all(params, const, jnp.asarray(np.asarray(edges)))
 
@@ -361,6 +365,49 @@ def evaluate(cfg, model, params, const, split_edge, predict_all):
     neg_test = scores(split_edge["test"]["edge_neg"])
     pos_train = scores(split_edge["train"]["edge"])
     neg_train = neg_val  # reference uses fresh global negs; reuse eval negs
+
+    if cfg.edge_lp_mode in ("logit", "xmc", "emb"):
+        from . import edge_lp as elp
+
+        # logits order [pos_train, pos_valid, pos_test, negs...] — the
+        # guidance layout of run_logitLP (edge_LP.py:59-64)
+        all_edges = np.concatenate(
+            [np.asarray(split_edge["train"]["edge"]),
+             np.asarray(split_edge["valid"]["edge"]),
+             np.asarray(split_edge["test"]["edge"]),
+             np.asarray(split_edge["valid"]["edge_neg"]),
+             np.asarray(split_edge["test"]["edge_neg"])], axis=0,
+        )
+        sizes = [len(pos_train), len(pos_val), len(pos_test),
+                 len(neg_val), len(neg_test)]
+        n_pos_total = sizes[0] + sizes[1] + sizes[2]
+        if cfg.edge_lp_mode == "emb":
+            h = model.apply({"params": params}, const["g"], const["x"],
+                            train=False, method=model.encode)
+            out = elp.run_emb_lp(all_edges, h, cfg.elp_alpha,
+                                 cfg.elp_num_propagations)
+        else:
+            logits = jnp.concatenate(
+                [pos_train, pos_val, pos_test, neg_val, neg_test])
+            if cfg.edge_lp_mode == "logit":
+                out = elp.run_logit_lp(all_edges, logits, sizes[0],
+                                       n_pos_total, cfg.elp_alpha,
+                                       cfg.elp_num_propagations)
+            else:
+                n = const["g"].n_node
+                e_msg = np.stack([np.asarray(const["g"].senders),
+                                  np.asarray(const["g"].receivers)])
+                out = elp.run_xmc_lp(e_msg, n, all_edges, logits,
+                                     sizes[0], n_pos_total,
+                                     cfg.elp_alpha,
+                                     cfg.elp_num_propagations)
+        ofs = np.cumsum([0] + sizes)
+        pos_train = out[ofs[0]:ofs[1]]
+        pos_val = out[ofs[1]:ofs[2]]
+        pos_test = out[ofs[2]:ofs[3]]
+        neg_val = out[ofs[3]:ofs[4]]
+        neg_test = out[ofs[4]:ofs[5]]
+        neg_train = neg_val
 
     m = cfg.eval_metric
     if m == "hits":
