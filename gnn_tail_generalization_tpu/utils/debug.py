@@ -1,0 +1,78 @@
+"""Observability: profiler traces, NaN guards, throughput counters.
+
+The reference has essentially none of this (SURVEY.md section 5): wall-clock
+prints and a dead PAPI block. TPU-native equivalents:
+
+- ``profile_trace``: jax.profiler trace context (view in TensorBoard /
+  xprof) around any training region.
+- ``checked``: jax.experimental.checkify wrapper with float checks — the
+  debug-run equivalent of torch's anomaly detection; returns (err, out) and
+  ``err.throw()``s on NaN/Inf with a located stack.
+- ``assert_finite``: host-side pytree finiteness check for tests/loops.
+- ``spmm_edges_per_sec``: the per-kernel edges/s counter used as the
+  framework's canonical perf unit (BASELINE.md).
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@contextlib.contextmanager
+def profile_trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def checked(fn, *, div: bool = True, nan: bool = True, inf: bool = True):
+    """checkify-wrapped fn: returns g(*args) -> (err, out)."""
+    from jax.experimental import checkify
+
+    checks = set()
+    if div:
+        checks |= {checkify.div_checks}
+    if nan:
+        checks |= {checkify.nan_checks}
+    # float_checks = nan + div + inf bundles
+    errors = checkify.float_checks if (nan and div and inf) else frozenset(
+        c for cs in checks for c in cs
+    )
+    return checkify.checkify(fn, errors=errors)
+
+
+def assert_finite(tree: Any, name: str = "pytree") -> None:
+    bad = []
+
+    def visit(path, leaf):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.floating):
+            if not bool(jnp.isfinite(leaf).all()):
+                bad.append(jax.tree_util.keystr(path))
+
+    jax.tree_util.tree_map_with_path(visit, tree)
+    if bad:
+        raise FloatingPointError(f"non-finite values in {name}: {bad}")
+
+
+def spmm_edges_per_sec(g, x, method: str = "auto", iters: int = 10) -> float:
+    """Measured SpMM throughput in edges/s (host-readback synced — see the
+    axon-tunnel sync note in bench.py)."""
+    from ..ops.spmm import spmm
+
+    f = jax.jit(lambda g, x: spmm(g, x, method))
+    out = f(g, x)
+    float(jnp.sum(out))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(g, x)
+    float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / iters
+    return g.n_edge / dt
