@@ -77,14 +77,16 @@ def _spmm_impl(g: Graph, x, method: str, precision):
         return _spmm_dense(g.dense_adj, x, precision)
     if method == "gather":
         return _spmm_gather(g.senders, g.receivers, g.edge_weight, x, g.n_node)
-    if method == "pallas":
+    if method in ("pallas", "pallas_bf16"):
         from .spmm_pallas import spmm_via_plan
 
         assert g.plans is not None, \
             "build the graph with with_plans=True for the pallas path"
         # Mosaic only targets real TPUs; interpret elsewhere (tests)
         interpret = jax.default_backend() != "tpu"
-        return spmm_via_plan(g.plans[0], x, interpret=interpret)
+        dtype = jnp.bfloat16 if method == "pallas_bf16" else jnp.float32
+        return spmm_via_plan(g.plans[0], x, interpret=interpret,
+                             compute_dtype=dtype)
     raise ValueError(f"unknown spmm method {method!r}")
 
 

@@ -189,11 +189,17 @@ def segment_matmul(plan: SegmentMatmulPlan, g: jax.Array,
 def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
                   interpret: bool = False,
                   compute_dtype=jnp.float32) -> jax.Array:
-    """Full SpMM: XLA gather + Pallas segment-matmul. x: [N, d_any]."""
+    """Full SpMM: XLA gather + Pallas segment-matmul. x: [N, d_any].
+
+    With ``compute_dtype=bfloat16`` the cast happens BEFORE the gather so
+    the materialized [E, d] intermediate moves half the HBM bytes; the MXU
+    still accumulates in f32 (preferred_element_type)."""
     d = x.shape[-1]
     d_pad = _round_up(d, 128)
     if d_pad != d:
         x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+    if compute_dtype != x.dtype:
+        x = x.astype(compute_dtype)
     g = x[plan.senders]  # [n_chunks*eb, d_pad] — XLA gather
     y = segment_matmul(plan, g, interpret=interpret,
                        compute_dtype=compute_dtype)

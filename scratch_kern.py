@@ -41,3 +41,11 @@ t0 = time.time()
 for _ in range(5): d2 = g_pal(x)
 float(jnp.sum(d2)); log(f"pallas grad: {(time.time()-t0)/5*1e3:.2f} ms/iter")
 log("grad diff", float(jnp.max(jnp.abs(d1 - d2))))
+
+# bf16 compute variant
+f_pal16 = jax.jit(lambda p, x: sp.spmm_pallas_pair(p, x, False, jnp.bfloat16))
+y3 = f_pal16(plans, x); s3 = float(jnp.sum(y3)); log("pallas bf16 compiled", s3)
+t0 = time.time()
+for _ in range(5): y3 = f_pal16(plans, x)
+float(jnp.sum(y3)); log(f"pallas bf16: {(time.time()-t0)/5*1e3:.2f} ms/iter")
+log("bf16 relerr", abs(s1 - s3) / abs(s1))
