@@ -135,6 +135,116 @@ def dist_spmm(mesh: Mesh, sg: ShardedGraph, x, axis: str = "graph"):
 
 
 # ---------------------------------------------------------------------------
+# Ring-overlapped variant: stream remote feature blocks around the ring
+# ---------------------------------------------------------------------------
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["senders_local", "receivers_local", "edge_weight"],
+    meta_fields=["n_node", "n_node_pad", "rows_per_shard", "n_shards",
+                 "e_bucket"],
+)
+@dataclass(frozen=True)
+class RingShardedGraph:
+    """Edges double-bucketed by (dst_shard, src_shard): shape
+    [S, S, E_bucket]. senders are LOCAL to their source shard; padding
+    edges carry weight 0 and indices 0."""
+
+    senders_local: jax.Array  # [S, S, E_b] int32
+    receivers_local: jax.Array  # [S, S, E_b] int32
+    edge_weight: jax.Array  # [S, S, E_b] f32
+    n_node: int
+    n_node_pad: int
+    rows_per_shard: int
+    n_shards: int
+    e_bucket: int
+
+
+def shard_graph_ring(
+    edge_index: np.ndarray,
+    n_node: int,
+    n_shards: int,
+    edge_weight: Optional[np.ndarray] = None,
+    pad_multiple: int = 8,
+) -> RingShardedGraph:
+    e = np.asarray(edge_index, np.int64)
+    w = (np.ones(e.shape[1], np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32))
+    n_node_pad = ((n_node + n_shards - 1) // n_shards) * n_shards
+    rows = n_node_pad // n_shards
+    dst_shard = e[1] // rows
+    src_shard = e[0] // rows
+    counts = np.zeros((n_shards, n_shards), np.int64)
+    np.add.at(counts, (dst_shard, src_shard), 1)
+    e_b = ((int(counts.max()) + pad_multiple - 1) // pad_multiple) * pad_multiple
+    e_b = max(e_b, pad_multiple)
+
+    sl = np.zeros((n_shards, n_shards, e_b), np.int32)
+    rl = np.zeros((n_shards, n_shards, e_b), np.int32)
+    ws = np.zeros((n_shards, n_shards, e_b), np.float32)
+    fill = np.zeros((n_shards, n_shards), np.int64)
+    for i in range(e.shape[1]):
+        k, j = dst_shard[i], src_shard[i]
+        p = fill[k, j]
+        sl[k, j, p] = e[0, i] - j * rows
+        rl[k, j, p] = e[1, i] - k * rows
+        ws[k, j, p] = w[i]
+        fill[k, j] += 1
+    return RingShardedGraph(
+        senders_local=jnp.asarray(sl),
+        receivers_local=jnp.asarray(rl),
+        edge_weight=jnp.asarray(ws),
+        n_node=n_node,
+        n_node_pad=n_node_pad,
+        rows_per_shard=rows,
+        n_shards=n_shards,
+        e_bucket=e_b,
+    )
+
+
+def dist_spmm_ring(mesh: Mesh, rg: RingShardedGraph, x,
+                   axis: str = "graph"):
+    """Ring-streamed SpMM: instead of all_gathering the whole feature
+    matrix, pass blocks around the ring (ppermute over ICI) and aggregate
+    the matching (dst_shard, src_shard) edge bucket at each step — the
+    long-context/ring-attention pattern applied to neighborhood
+    aggregation (SURVEY.md section 5). Peak memory: one remote block
+    instead of the full [N, d]."""
+    s = rg.n_shards
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None, None), P(axis, None, None),
+                  P(axis, None, None)),
+        out_specs=P(axis, None),
+        check_vma=False,
+    )
+    def f(x_local, senders, recv, w):
+        senders, recv, w = senders[0], recv[0], w[0]  # [S, E_b]
+        k = jax.lax.axis_index(axis)
+        y = jnp.zeros((rg.rows_per_shard, x_local.shape[1]), x_local.dtype)
+        blk = x_local
+        for t in range(s):
+            j = (k + t) % s  # which source shard's block we hold now
+            sl = jnp.take(senders, j, axis=0)
+            rl = jnp.take(recv, j, axis=0)
+            wb = jnp.take(w, j, axis=0)
+            contrib = blk[sl] * wb[:, None].astype(blk.dtype)
+            y = y + jax.ops.segment_sum(
+                contrib, rl, num_segments=rg.rows_per_shard
+            )
+            if t < s - 1:
+                blk = jax.lax.ppermute(
+                    blk, axis, [(i, (i - 1) % s) for i in range(s)]
+                )
+        return y
+
+    return f(x, rg.senders_local, rg.receivers_local, rg.edge_weight)
+
+
+# ---------------------------------------------------------------------------
 # Distributed teacher train step (2-layer GCN + SE) — the dryrun workload
 # ---------------------------------------------------------------------------
 

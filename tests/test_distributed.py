@@ -104,3 +104,43 @@ def test_dist_train_step_runs_and_learns(rng):
     # SE table stayed sharded
     se_shard = params["se0"].sharding
     assert se_shard.spec == P("graph", None)
+
+
+def test_ring_spmm_matches_single_device(rng):
+    n, e = 64, 400
+    ei = random_graph(rng, n, e)
+    mesh = dist.make_graph_mesh(8)
+    rg = dist.shard_graph_ring(ei, n, 8)
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    xp = dist.pad_rows(x, rg.n_node_pad)
+    sh = NamedSharding(mesh, P("graph", None))
+    xd = jax.device_put(jnp.asarray(xp), sh)
+    y = jax.jit(lambda x: dist.dist_spmm_ring(mesh, rg, x))(xd)
+
+    g = core.build_graph(ei, n, with_dense=False)
+    y_ref = spmm(g, jnp.asarray(x), "gather")
+    np.testing.assert_allclose(
+        np.asarray(y)[:n], np.asarray(y_ref), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_ring_spmm_grad(rng):
+    n = 40
+    ei = random_graph(rng, n, 250)
+    mesh = dist.make_graph_mesh(8)
+    rg = dist.shard_graph_ring(ei, n, 8)
+    g = core.build_graph(ei, n, with_dense=False)
+    x = rng.normal(size=(rg.n_node_pad, 8)).astype(np.float32)
+    ct = rng.normal(size=(rg.n_node_pad, 8)).astype(np.float32)
+    sh = NamedSharding(mesh, P("graph", None))
+    xd = jax.device_put(jnp.asarray(x), sh)
+
+    dx = jax.jit(jax.grad(
+        lambda x: jnp.vdot(dist.dist_spmm_ring(mesh, rg, x),
+                           jnp.asarray(ct))))(xd)
+    dx_ref = jax.grad(
+        lambda x: jnp.vdot(spmm(g, x[:n], "gather"),
+                           jnp.asarray(ct)[:n]))(jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(dx)[:n], np.asarray(dx_ref)[:n], rtol=1e-4, atol=1e-4
+    )
