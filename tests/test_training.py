@@ -96,3 +96,20 @@ def test_student_and_graphmlp(small_setup):
         c = dataclasses.replace(cfg, train_which=tw, **extra)
         res = loops.run_experiment(c, pd, seed=0, epochs=8)
         assert np.isfinite(res.records).all(), tw
+
+
+def test_multiseed_vmapped_training(small_setup):
+    from gnn_tail_generalization_tpu.train.multiseed import (
+        train_teacher_multiseed,
+    )
+
+    cfg, pd = small_setup
+    results = train_teacher_multiseed(cfg, pd, seeds=[0, 1, 2], epochs=10)
+    assert len(results) == 3
+    recs = np.stack([r.records for r in results])
+    assert np.isfinite(recs).all()
+    # seeds actually differ (different inits)
+    assert not np.allclose(results[0].records, results[1].records)
+    # all of them learn
+    for r in results:
+        assert r.records[-1, 0] < r.records[0, 0]
