@@ -48,6 +48,41 @@ def parse_args():
     return overrides, ns.data_root, ns.log_every
 
 
+def run_i2gtl(cfg, data_root, log_every):
+    """exp_mode=I2_GTL: link-prediction transfer learning
+    (trainer_link_prediction.py standalone mode)."""
+    import numpy as np
+
+    from gnn_tail_generalization_tpu.linkpred import model as lpm
+    from gnn_tail_generalization_tpu.linkpred import surgery
+
+    lcfg = lpm.LinkPredConfig()
+    try:
+        from gnn_tail_generalization_tpu.data.ogb import load_ogbl_graph
+
+        g, _ = load_ogbl_graph(data_root, "ogbl-citation2")
+        g2, se = surgery.transfer_surgery_node_year(g, "i2t")
+    except FileNotFoundError:
+        print("NOTE: no ogbl raw files; synthetic transfer stand-in.")
+        from gnn_tail_generalization_tpu.data.synthetic import (
+            fast_powerlaw_graph,
+        )
+
+        rng = np.random.default_rng(0)
+        n = 2000
+        g = surgery.GraphData(
+            x=rng.normal(size=(n, 64)).astype(np.float32),
+            edge_index=fast_powerlaw_graph(n, 10000, 0),
+            node_year=rng.integers(2010, 2019, n),
+            keys=np.arange(n),
+        )
+        g2, se = surgery.transfer_surgery_node_year(g, "i2t", drop_rate=0.0)
+    out = lpm.train_linkpred(lcfg, g2.x, g2.edge_index, g2.n_node,
+                             epochs=5, runs=2, split_edge=se,
+                             log_every=log_every)
+    print(json.dumps(out["stats"]))
+
+
 def main():
     from gnn_tail_generalization_tpu.config import build_config
     from gnn_tail_generalization_tpu.data.datasets import load_dataset, prepare
@@ -55,6 +90,8 @@ def main():
 
     overrides, data_root, log_every = parse_args()
     cfg = build_config(**overrides)
+    if cfg.exp_mode == "I2_GTL" and cfg.task != "nodeC":
+        return run_i2gtl(cfg, data_root, log_every)
     print(f"Configs:\n  dataset={cfg.dataset} train_which={cfg.train_which} "
           f"type_trick={cfg.type_trick} num_layers={cfg.num_layers} "
           f"dim_hidden={cfg.dim_hidden}")
