@@ -86,6 +86,26 @@ def build_plan(
     assert np.all(np.diff(r) >= 0), "edges must be dst-sorted"
 
     n_blocks = _round_up(n_node, rb) // rb
+
+    # native (C++) fast path for the chunk layout
+    from .. import native as _native
+
+    nat = _native.segment_matmul_plan_arrays(s, r, w, n_node, rb, eb)
+    if nat is not None:
+        out_s, out_d, out_w, out_b, out_f, n_chunks = nat
+        return SegmentMatmulPlan(
+            senders=jnp.asarray(out_s),
+            dst_local=jnp.asarray(out_d),
+            weights=jnp.asarray(out_w),
+            block_of_chunk=jnp.asarray(out_b),
+            first_of_block=jnp.asarray(out_f),
+            n_node=n_node,
+            n_blocks=n_blocks,
+            n_chunks=n_chunks,
+            rb=rb,
+            eb=eb,
+        )
+
     block_of_edge = r // rb
     counts = np.bincount(block_of_edge, minlength=n_blocks)
     chunks_per_block = np.maximum((counts + eb - 1) // eb, 1)

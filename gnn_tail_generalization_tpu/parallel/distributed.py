@@ -173,24 +173,32 @@ def shard_graph_ring(
          else np.asarray(edge_weight, np.float32))
     n_node_pad = ((n_node + n_shards - 1) // n_shards) * n_shards
     rows = n_node_pad // n_shards
-    dst_shard = e[1] // rows
-    src_shard = e[0] // rows
-    counts = np.zeros((n_shards, n_shards), np.int64)
-    np.add.at(counts, (dst_shard, src_shard), 1)
-    e_b = ((int(counts.max()) + pad_multiple - 1) // pad_multiple) * pad_multiple
-    e_b = max(e_b, pad_multiple)
+    from .. import native as _native
 
-    sl = np.zeros((n_shards, n_shards, e_b), np.int32)
-    rl = np.zeros((n_shards, n_shards, e_b), np.int32)
-    ws = np.zeros((n_shards, n_shards, e_b), np.float32)
-    fill = np.zeros((n_shards, n_shards), np.int64)
-    for i in range(e.shape[1]):
-        k, j = dst_shard[i], src_shard[i]
-        p = fill[k, j]
-        sl[k, j, p] = e[0, i] - j * rows
-        rl[k, j, p] = e[1, i] - k * rows
-        ws[k, j, p] = w[i]
-        fill[k, j] += 1
+    nat = _native.ring_bucket_arrays(e[0], e[1], w, rows, n_shards,
+                                     pad_multiple)
+    if nat is not None:
+        sl, rl, ws, e_b = nat
+    else:
+        dst_shard = e[1] // rows
+        src_shard = e[0] // rows
+        counts = np.zeros((n_shards, n_shards), np.int64)
+        np.add.at(counts, (dst_shard, src_shard), 1)
+        e_b = ((int(counts.max()) + pad_multiple - 1) // pad_multiple) \
+            * pad_multiple
+        e_b = max(e_b, pad_multiple)
+
+        sl = np.zeros((n_shards, n_shards, e_b), np.int32)
+        rl = np.zeros((n_shards, n_shards, e_b), np.int32)
+        ws = np.zeros((n_shards, n_shards, e_b), np.float32)
+        fill = np.zeros((n_shards, n_shards), np.int64)
+        for i in range(e.shape[1]):
+            k, j = dst_shard[i], src_shard[i]
+            p = fill[k, j]
+            sl[k, j, p] = e[0, i] - j * rows
+            rl[k, j, p] = e[1, i] - k * rows
+            ws[k, j, p] = w[i]
+            fill[k, j] += 1
     return RingShardedGraph(
         senders_local=jnp.asarray(sl),
         receivers_local=jnp.asarray(rl),
