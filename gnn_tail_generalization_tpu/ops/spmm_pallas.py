@@ -24,9 +24,17 @@ the same kernel on the reversed-edge plan — the framework emits NO scatter
 in either direction.
 
 FLOP cost: E_pad * RB * d * 2 per SpMM (RB=128 keeps the systolic array
-full); with bf16 S/g inputs and f32 accumulation this sits well under the
-HBM-bound gather time, so the kernel is bandwidth-bound — the speed of
-light for unstructured aggregation.
+full).
+
+Measured roofline (v5e chip, 850k edges, d=256, f32):
+  XLA gather+segment_sum (scatter):   19.5 ms
+  this kernel (gather + seg-matmul):  10.2 ms   (1.9x)
+  pure XLA row gather alone:           8.9 ms
+i.e. the kernel sits at ~87% of the gather-bound envelope; the residual
+frontier is XLA's row-gather emitter itself (row-op bound, not byte
+bound — bf16 inputs show no speedup), which Pallas cannot beat with
+per-edge DMAs (issue-rate bound, see docstring history). eb=1024 is the
+sweet spot; eb=2048 is slightly worse (VMEM pressure).
 """
 from __future__ import annotations
 

@@ -87,6 +87,7 @@ def train_teacher(
     seed: int = 0,
     epochs: Optional[int] = None,
     log_every: int = 0,
+    save_dir: Optional[str] = None,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
     # Device data is passed to the jitted step as ARGUMENTS, never closed
@@ -220,6 +221,20 @@ def train_teacher(
         best_vars = {"params": best_params}
         if best_bs is not None:
             best_vars["batch_stats"] = best_bs
+    if save_dir:
+        # save_model semantics (utils.py:958-960, trainer:334,351):
+        # last checkpoint always; best-by-test kept when training for SEMLP
+        from .checkpoint import save_train_state
+
+        save_train_state(f"{save_dir}/teacherGNN.msgpack",
+                         params=final_vars["params"],
+                         batch_stats=final_vars.get("batch_stats"),
+                         epoch=epochs)
+        if keep_best and best_vars is not None:
+            save_train_state(f"{save_dir}/best-teacherGNN.msgpack",
+                             params=best_vars["params"],
+                             batch_stats=best_vars.get("batch_stats"),
+                             epoch=epochs)
     return TrainResult(
         columns=cols,
         records=records,
