@@ -138,6 +138,12 @@ def load_dataset(cfg: Config, data_root: Optional[str] = None,
                 )
         except FileNotFoundError:
             pass
+    known = ("Cora", "Citeseer", "Pubmed", "ogbn-arxiv", "TEXAS",
+             "WISCONSIN", "CORNELL", "ACTOR", "chameleon", "squirrel", "")
+    if cfg.dataset not in known:
+        raise ValueError(
+            f"unknown dataset {cfg.dataset!r}; choose one of {known[:-1]}"
+        )
     from . import synthetic
 
     return synthetic.synthetic_planetoid(
