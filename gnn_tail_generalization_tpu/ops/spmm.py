@@ -101,21 +101,41 @@ def _spmm_fwd(g, x, method, precision):
 
 
 def _spmm_bwd(method, precision, res, dy):
-    import dataclasses
-
     g, x = res
     dx = _spmm_impl(g.transpose(), dy, method, precision)
-    # Cotangent for the graph: only edge_weight can meaningfully carry grad
-    # (dw_e = dy[dst] . x[src], an SDDMM); everything else gets zeros.
-    dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(
-        g.edge_weight.dtype
-    )
+    # Graph cotangents are symbolic zeros: adjacency weights are structural
+    # constants everywhere in this framework (normalizations, masks), so
+    # spending an SDDMM on dw every backward would be pure waste. Use
+    # spmm_edge_grad when edge weights must be trained.
     dg = jax.tree.map(jnp.zeros_like, g)
-    dg = dataclasses.replace(dg, edge_weight=dw)
     return dg, dx
 
 
 spmm.defvjp(_spmm_fwd, _spmm_bwd)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def spmm_edge_grad(g: Graph, x: jax.Array, w: jax.Array,
+                   method: str = "auto", precision=Precision.HIGHEST):
+    """SpMM with differentiable edge weights ``w`` (dst-sorted order):
+    dw_e = dy[dst_e] . x[src_e] (SDDMM). For learned-edge-weight models."""
+    return _spmm_impl(g.with_edge_weight(w), x, method, precision)
+
+
+def _seg_fwd(g, x, w, method, precision):
+    return _spmm_impl(g.with_edge_weight(w), x, method, precision), (g, x, w)
+
+
+def _seg_bwd(method, precision, res, dy):
+    g, x, w = res
+    gw = g.with_edge_weight(w)
+    dx = _spmm_impl(gw.transpose(), dy, method, precision)
+    dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(w.dtype)
+    dg = jax.tree.map(jnp.zeros_like, g)
+    return dg, dx, dw
+
+
+spmm_edge_grad.defvjp(_seg_fwd, _seg_bwd)
 
 
 def spmm_normalized(g: Graph, x, norm: str = "both", method: str = "auto"):
