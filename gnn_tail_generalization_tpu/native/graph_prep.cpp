@@ -68,23 +68,35 @@ void segment_matmul_plan(const int64_t* senders_sorted,
   for (int64_t i = 0; i < n_edge; ++i) counts[receivers_sorted[i] / rb]++;
 
   int64_t ci = 0, edge = 0;
+  std::vector<int64_t> order;
   for (int64_t b = 0; b < n_blocks; ++b) {
     int64_t c = (counts[b] + eb - 1) / eb;
     if (c == 0) c = 1;
     int64_t remaining = counts[b];
+    // Within a row block, edge order is free (the one-hot segment matrix
+    // absorbs any permutation): sort by SENDER so the device gather sees
+    // quasi-monotonic indices (much better HBM locality).
+    order.resize(counts[b]);
+    std::iota(order.begin(), order.end(), edge);
+    std::sort(order.begin(), order.end(), [&](int64_t a, int64_t bb) {
+      return senders_sorted[a] < senders_sorted[bb];
+    });
+    int64_t taken = 0;
     for (int64_t k = 0; k < c; ++k, ++ci) {
       int64_t m = std::min(remaining, eb);
       remaining -= m;
       int64_t base = ci * eb;
-      for (int64_t j = 0; j < m; ++j, ++edge) {
-        out_senders[base + j] = (int32_t)senders_sorted[edge];
-        out_dst_local[base + j] = (int32_t)(receivers_sorted[edge] - b * rb);
-        out_w[base + j] = weights_sorted[edge];
+      for (int64_t j = 0; j < m; ++j, ++taken) {
+        int64_t eidx = order[taken];
+        out_senders[base + j] = (int32_t)senders_sorted[eidx];
+        out_dst_local[base + j] = (int32_t)(receivers_sorted[eidx] - b * rb);
+        out_w[base + j] = weights_sorted[eidx];
       }
       // padding stays zero (weight 0 contributes nothing)
       out_block_of_chunk[ci] = (int32_t)b;
       out_first_of_block[ci] = (k == 0) ? 1 : 0;
     }
+    edge += counts[b];
   }
 }
 

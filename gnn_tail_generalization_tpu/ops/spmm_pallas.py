@@ -129,14 +129,17 @@ def build_plan(
     ci = 0
     for b in range(n_blocks):
         e0, e1 = edge_starts[b], edge_starts[b + 1]
+        # within-block sender sort (see graph_prep.cpp: gather locality)
+        blk_order = e0 + np.argsort(s[e0:e1], kind="stable")
         for k in range(chunks_per_block[b]):
             lo = e0 + k * eb
             hi = min(lo + eb, e1)
             m = hi - lo
             if m > 0:
-                senders[ci, :m] = s[lo:hi]
-                dst_local[ci, :m] = r[lo:hi] - b * rb
-                ws[ci, :m] = w[lo:hi]
+                sel = blk_order[lo - e0:hi - e0]
+                senders[ci, :m] = s[sel]
+                dst_local[ci, :m] = r[sel] - b * rb
+                ws[ci, :m] = w[sel]
             block_of_chunk[ci] = b
             first_of_block[ci] = 1 if k == 0 else 0
             ci += 1
