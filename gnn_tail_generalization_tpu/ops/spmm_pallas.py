@@ -27,14 +27,17 @@ FLOP cost: E_pad * RB * d * 2 per SpMM (RB=128 keeps the systolic array
 full).
 
 Measured roofline (v5e chip, 850k edges, d=256, f32):
-  XLA gather+segment_sum (scatter):   19.5 ms
-  this kernel (gather + seg-matmul):  10.2 ms   (1.9x)
-  pure XLA row gather alone:           8.9 ms
-i.e. the kernel sits at ~87% of the gather-bound envelope; the residual
-frontier is XLA's row-gather emitter itself (row-op bound, not byte
-bound — bf16 inputs show no speedup), which Pallas cannot beat with
-per-edge DMAs (issue-rate bound, see docstring history). eb=1024 is the
-sweet spot; eb=2048 is slightly worse (VMEM pressure).
+  XLA gather+segment_sum (scatter):    19.5 ms
+  this kernel, dst-order gather:       10.2 ms   (1.9x)
+  this kernel, sender-sorted chunks:    7.74 ms  (2.5x)
+  standalone sorted XLA row gather:     8.9 ms
+Within a row block the edge order is free (S absorbs any permutation), so
+the plan sorts each block's edges by SENDER: the gather sees
+quasi-monotonic indices (locality), and overlapped with the MXU
+segment-matmul the fused pipeline beats even the standalone sorted
+gather. Residual frontier: XLA's row-gather emitter (row-op bound — bf16
+inputs show no speedup); per-edge DMA in-kernel is issue-rate bound and
+loses. eb=1024 is the sweet spot.
 """
 from __future__ import annotations
 
