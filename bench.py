@@ -47,8 +47,12 @@ def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
 
     cfg = build_config(dataset="ogbn-arxiv", train_which="TeacherGNN",
                        whetherHasSE="100", se_reg=0.5)
+    # TPU-native configuration: bf16 aggregation operands with f32 MXU
+    # accumulation (2.9x the f32 SpMM at this 173MB gather footprint —
+    # RESULTS.md); the naive baseline below stays f32 like the reference.
     cfg = dataclasses.replace(cfg, use_special_split=False,
-                              do_deg_analyze=False, want_headtail=False)
+                              do_deg_analyze=False, want_headtail=False,
+                              spmm_method="pallas_bf16")
     x, y = synthetic_features_labels(n_node, n_feat, n_class, seed)
     e = fast_powerlaw_graph(n_node, 1_166_243, seed)  # arxiv edge count
     rng = np.random.default_rng(seed)

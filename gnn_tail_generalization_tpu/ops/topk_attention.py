@@ -24,13 +24,29 @@ def latent_neighbor_replace(
     teacher_se: jax.Array,  # [N, se_dim] teacher embedding table
     top_k: int,
     precision=jax.lax.Precision.HIGHEST,
+    row_chunk: int = 8192,
 ) -> jax.Array:
     """Virtual-neighborhood embedding per batch row (MLP_model/__init__.py:143-156).
 
     Returns [B, se_dim]: softmax(top-K of le_guess @ SE^T) @ SE[selected].
+
+    The [B, N] score matrix is never fully materialized: rows are processed
+    in ``row_chunk`` blocks under lax.map, so arxiv-scale batches
+    (90k x 169k scores = 61 GB dense) stay within a ~169k x 8k working set.
     """
-    scores = jnp.matmul(le_guess, teacher_se.T, precision=precision)  # [B, N]
-    top_scores, top_idx = jax.lax.top_k(scores, top_k)  # [B, K]
-    attn = jax.nn.softmax(top_scores, axis=-1)  # [B, K]
-    neigh = teacher_se[top_idx]  # [B, K, se_dim]
-    return jnp.einsum("bk,bkd->bd", attn, neigh, precision=precision)
+    b = le_guess.shape[0]
+
+    def block(rows):
+        scores = jnp.matmul(rows, teacher_se.T, precision=precision)
+        top_scores, top_idx = jax.lax.top_k(scores, top_k)
+        attn = jax.nn.softmax(top_scores, axis=-1)
+        neigh = teacher_se[top_idx]
+        return jnp.einsum("bk,bkd->bd", attn, neigh, precision=precision)
+
+    if b <= row_chunk:
+        return block(le_guess)
+    pad = (-b) % row_chunk
+    padded = jnp.pad(le_guess, ((0, pad), (0, 0)))
+    chunks = padded.reshape(-1, row_chunk, le_guess.shape[1])
+    out = jax.lax.map(block, chunks)
+    return out.reshape(-1, teacher_se.shape[1])[:b]

@@ -157,3 +157,13 @@ def test_latent_neighbor_replace_matches_naive_loop(rng):
         a = a / a.sum()
         expect = a @ se[sel]
         np.testing.assert_allclose(out[i], expect, rtol=1e-4, atol=1e-4)
+
+
+def test_latent_neighbor_replace_chunked_matches(rng):
+    b, n, d, k = 50, 30, 6, 3
+    guess = jnp.asarray(rng.normal(size=(b, d)).astype(np.float32))
+    se = jnp.asarray(rng.normal(size=(n, d)).astype(np.float32))
+    full = latent_neighbor_replace(guess, se, k)
+    chunked = latent_neighbor_replace(guess, se, k, row_chunk=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)

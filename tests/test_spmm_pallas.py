@@ -83,3 +83,19 @@ def test_hub_rows_many_chunks(rng):
     assert plan.n_chunks > plan.n_blocks  # hub forced multiple chunks
     y = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True)
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4, atol=1e-4)
+
+
+def test_spmm_method_pallas_bf16(rng):
+    g, dense = random_graph(rng, n=60, e=300)
+    from gnn_tail_generalization_tpu.ops import spmm_pallas as sp2
+    import dataclasses as dc
+
+    plans = sp2.build_plans_from_graph(g, rb=16, eb=128)
+    g2 = dc.replace(g, plans=plans)
+    x = rng.normal(size=(60, 16)).astype(np.float32)
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    y = spmm(g2, jnp.asarray(x), "pallas_bf16")
+    # bf16 operands, f32 accumulation: loose tolerance
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=2e-2,
+                               atol=2e-2)
