@@ -110,18 +110,35 @@ def main():
     pd = prepare(data, cfg)
 
     all_records = []
-    for seed in range(cfg.N_exp):
-        res = loops.run_experiment(
-            cfg, pd, seed=cfg.random_seed + seed, log_every=log_every
+    if cfg.train_which == "TeacherGNN" and cfg.N_exp > 1:
+        # vmapped population training: all seeds in one compiled step
+        from gnn_tail_generalization_tpu.train.multiseed import (
+            train_teacher_multiseed,
         )
-        if isinstance(res, dict):  # pure LP
-            print(json.dumps(res))
-            return
-        all_records.append(res.records)
-        print(f"seed {seed}: " + " ".join(
-            f"{c}={res.records[-1, i]:.2f}"
-            for i, c in enumerate(res.columns)
-        ))
+
+        seeds = [cfg.random_seed + s for s in range(cfg.N_exp)]
+        results = train_teacher_multiseed(cfg, pd, seeds,
+                                          log_every=log_every)
+        res = results[-1]
+        for seed, r in enumerate(results):
+            all_records.append(r.records)
+            print(f"seed {seed}: " + " ".join(
+                f"{c}={r.records[-1, i]:.2f}"
+                for i, c in enumerate(r.columns)
+            ))
+    else:
+        for seed in range(cfg.N_exp):
+            res = loops.run_experiment(
+                cfg, pd, seed=cfg.random_seed + seed, log_every=log_every
+            )
+            if isinstance(res, dict):  # pure LP
+                print(json.dumps(res))
+                return
+            all_records.append(res.records)
+            print(f"seed {seed}: " + " ".join(
+                f"{c}={res.records[-1, i]:.2f}"
+                for i, c in enumerate(res.columns)
+            ))
 
     stacked = np.stack(all_records)  # [seeds, epochs, cols]
     final = stacked[:, -1, :]
