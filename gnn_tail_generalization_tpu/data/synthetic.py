@@ -53,6 +53,20 @@ def synthetic_planetoid(
     rng = np.random.default_rng(seed)
     y = rng.integers(0, n_class, n_node)
 
+    if n_node > 20_000:
+        # the per-node preferential-attachment loop below is O(N^2); at
+        # benchmark scale use the vectorized power-law generator with a
+        # homophily rewire instead
+        e = fast_powerlaw_graph(n_node, int(n_node * avg_degree * 2), seed)
+        same = rng.random(e.shape[1]) < homophily
+        dst = np.where(same & (y[e[0]] != y[e[1]]),
+                       _same_class_target(rng, y, y[e[0]]),
+                       e[1])
+        edge_index = np.stack([e[0], dst])
+        x = _bow_features(rng, n_node, n_feat, n_class, y, feat_signal)
+        return _finish(rng, n_node, x, y, edge_index, train_per_class,
+                       n_val, n_test, name)
+
     # preferential attachment with homophily: node i links to ~avg_degree
     # earlier nodes, biased to same-class and to high-degree targets
     deg = np.ones(n_node)
@@ -74,18 +88,7 @@ def synthetic_planetoid(
         [np.asarray(src_list, np.int64), np.asarray(dst_list, np.int64)]
     )
 
-    # sparse nonneg bag-of-words features: ~1% active words, class-specific
-    # words upweighted; every node gets at least one active word
-    words_per_class = n_feat // n_class
-    x = (rng.random((n_node, n_feat)) < 0.01).astype(np.float32)
-    x[np.arange(n_node), rng.integers(0, n_feat, n_node)] = 1.0
-    for c in range(n_class):
-        lo, hi = c * words_per_class, (c + 1) * words_per_class
-        boost = (rng.random((int((y == c).sum()), hi - lo)) < 0.02).astype(
-            np.float32
-        )
-        x[y == c, lo:hi] += feat_signal * boost
-    x = normalize_features(x)
+    x = _bow_features(rng, n_node, n_feat, n_class, y, feat_signal)
 
     # decorrelate node index from degree (preferential attachment favors
     # early ids; Cora-style first-K train splits must not hit only hubs)
@@ -95,9 +98,39 @@ def synthetic_planetoid(
     x, y = x[perm], y[perm]
     edge_index = inv[edge_index]
 
+    return _finish(rng, n_node, x, y, edge_index, train_per_class, n_val,
+                   n_test, name)
+
+
+def _same_class_target(rng, y, cls):
+    """Random node with the given class per entry (vectorized)."""
+    order = np.argsort(y, kind="stable")
+    bounds = np.searchsorted(y[order], np.arange(int(y.max()) + 2))
+    lo, hi = bounds[cls], bounds[cls + 1]
+    pick = lo + (rng.random(len(cls)) * np.maximum(hi - lo, 1)).astype(np.int64)
+    return order[np.minimum(pick, len(order) - 1)]
+
+
+def _bow_features(rng, n_node, n_feat, n_class, y, feat_signal):
+    """Sparse nonneg bag-of-words features: ~1% active words, class-specific
+    words upweighted; every node gets at least one active word."""
+    words_per_class = n_feat // n_class
+    x = (rng.random((n_node, n_feat)) < 0.01).astype(np.float32)
+    x[np.arange(n_node), rng.integers(0, n_feat, n_node)] = 1.0
+    for c in range(n_class):
+        lo, hi = c * words_per_class, (c + 1) * words_per_class
+        boost = (rng.random((int((y == c).sum()), hi - lo)) < 0.02).astype(
+            np.float32
+        )
+        x[y == c, lo:hi] += feat_signal * boost
+    return normalize_features(x)
+
+
+def _finish(rng, n_node, x, y, edge_index, train_per_class, n_val, n_test,
+            name):
     # planetoid-style public split: train_per_class per class, then val/test
     train_mask = np.zeros(n_node, dtype=bool)
-    for c in range(n_class):
+    for c in range(int(y.max()) + 1):
         idx = np.where(y == c)[0][:train_per_class]
         train_mask[idx] = True
     rest = np.where(~train_mask)[0]
