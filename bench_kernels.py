@@ -59,11 +59,13 @@ def main(n_node=169343, n_edge=1_166_243, d=256):
 
     # fwd+bwd
     ct = jnp.ones_like(x)
-    g_xla = jax.jit(jax.grad(lambda x: jnp.vdot(spmm(g, x, "gather"), ct)))
+    g_xla = jax.jit(jax.grad(
+        lambda x, g, ct: jnp.vdot(spmm(g, x, "gather"), ct), argnums=0))
     g_pal = jax.jit(jax.grad(
-        lambda x: jnp.vdot(sp.spmm_pallas_pair(plans, x), ct)))
-    tg_xla = timeit(g_xla, x)
-    tg_pal = timeit(g_pal, x)
+        lambda x, plans, ct: jnp.vdot(sp.spmm_pallas_pair(plans, x), ct),
+        argnums=0))
+    tg_xla = timeit(g_xla, x, g, ct)
+    tg_pal = timeit(g_pal, x, plans, ct)
     print(f"bwd: xla {tg_xla*1e3:.3f} ms | pallas {tg_pal*1e3:.3f} ms")
 
 

@@ -61,14 +61,16 @@ def load_planetoid(root: str, name: str) -> NodeData:
     ty = np.asarray(ty)
 
     if lname == "citeseer":
-        # isolated test nodes are missing from tx/ty: extend with zero rows
+        # isolated test nodes are missing from tx/ty: extend with zero rows.
+        # NOTE: test_idx_range stays the SORTED real test ids — the permute
+        # below reads rows at those positions; the extended rows cover the
+        # full id range so the vstack positions line up.
         full = np.arange(test_idx_range.min(), test_idx_range.max() + 1)
         tx_ext = np.zeros((len(full), tx.shape[1]), np.float32)
         ty_ext = np.zeros((len(full), ty.shape[1]), ty.dtype)
         tx_ext[test_idx_range - test_idx_range.min()] = tx
         ty_ext[test_idx_range - test_idx_range.min()] = ty
         tx, ty = tx_ext, ty_ext
-        test_idx_range = full
 
     feats = np.vstack([allx, tx])
     labels = np.vstack([ally, ty])

@@ -172,9 +172,7 @@ def run_xmc_lp(edge_index_graph: np.ndarray, n_node: int,
     src_u = jnp.asarray(ue[:, 0])
     col_u = jnp.asarray(dst_col)
 
-    # pad columns to chunk multiple
     n_chunks = (n_cols + col_chunk - 1) // col_chunk
-    out_vals = jnp.zeros(len(ue))
 
     y0_dense_cols = jnp.zeros((n_node, n_cols), jnp.float32).at[
         src_u, col_u].set(y0_vals)

@@ -146,7 +146,7 @@ def simple_split_edges(edge_index: np.ndarray, n_node: int,
 
     keys = sampling.edge_keys(e, n_node)
 
-    def sample_negs(k, count):
+    def sample_negs(count):
         out = np.empty((count, 2), np.int64)
         filled = 0
         while filled < count:
@@ -163,9 +163,9 @@ def simple_split_edges(edge_index: np.ndarray, n_node: int,
     split_edge = {
         "train": {"edge": train.T},
         "valid": {"edge": val.T,
-                  "edge_neg": sample_negs(rng, max(n_val, 1) * 1)},
+                  "edge_neg": sample_negs(max(n_val, 1))},
         "test": {"edge": test.T,
-                 "edge_neg": sample_negs(rng, max(n_test, 1) * 1)},
+                 "edge_neg": sample_negs(max(n_test, 1))},
     }
     # message-passing graph = train positives symmetrized
     msg_edges = symmetrize(np.concatenate([train, train[::-1]], axis=1),

@@ -131,6 +131,10 @@ def _seg_bwd(method, precision, res, dy):
     gw = g.with_edge_weight(w)
     dx = _spmm_impl(gw.transpose(), dy, method, precision)
     dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(w.dtype)
+    # padding slots (appended after the n_edge real edges) point at the
+    # last node; zero their cotangent or trained weights drift off 0 there
+    real = jnp.arange(g.e_pad) < g.n_edge
+    dw = jnp.where(real, dw, 0.0)
     dg = jax.tree.map(jnp.zeros_like, g)
     return dg, dx, dw
 

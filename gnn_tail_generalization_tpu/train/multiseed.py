@@ -31,6 +31,11 @@ def train_teacher_multiseed(
     log_every: int = 0,
 ) -> List[TrainResult]:
     epochs = epochs if epochs is not None else cfg.epochs
+    if cfg.has_loss_component_edgewise:
+        raise NotImplementedError(
+            "edgewise (I2_GTL) loss is not supported by the vmapped "
+            "multi-seed trainer; use train_teacher per seed"
+        )
     n_seeds = len(seeds)
     const = {
         "g": data.graph,
@@ -76,7 +81,10 @@ def train_teacher_multiseed(
                 mutable=mutable,
             )
             _, classi, se_reg_all, _ = out
-            loss = _nll_masked(classi, c["y"], c["train_mask"])
+            loss = 0.0
+            if cfg.has_loss_component_nodewise:
+                loss = _nll_masked(classi, c["y"], c["train_mask"]) \
+                    * cfg.TeacherGNN.lossa_semantic
             if se_reg_all is not None:
                 loss = loss + cfg.se_reg * se_reg_all
             return loss, (nv.get("batch_stats") if mutable else bs)

@@ -29,8 +29,12 @@ def parse_args():
             continue  # derived sub-configs
         default = f.default if f.default is not dataclasses.MISSING else None
         ftype = f.type if isinstance(f.type, type) else type(default)
+        _optional_types = {"skip_weight": float, "num_groups": int}
         if ftype is bool or isinstance(default, bool):
             parser.add_argument(f"--{f.name}", type=int, default=None)
+        elif f.name in _optional_types:
+            parser.add_argument(f"--{f.name}", type=_optional_types[f.name],
+                                default=None)
         elif isinstance(default, (int, float, str)) or default is None:
             cast = type(default) if default is not None else str
             parser.add_argument(f"--{f.name}", type=cast, default=None)
@@ -110,7 +114,8 @@ def main():
     pd = prepare(data, cfg)
 
     all_records = []
-    if cfg.train_which == "TeacherGNN" and cfg.N_exp > 1:
+    if (cfg.train_which == "TeacherGNN" and cfg.N_exp > 1
+            and not cfg.has_loss_component_edgewise):
         # vmapped population training: all seeds in one compiled step
         from gnn_tail_generalization_tpu.train.multiseed import (
             train_teacher_multiseed,
