@@ -6,6 +6,8 @@ Reference parity: ``/root/reference/Link_prediction_model/utils.py:43-91``
 """
 from __future__ import annotations
 
+import numpy as np
+
 import jax.numpy as jnp
 
 
@@ -44,24 +46,27 @@ def evaluate_mrr(pos_val, neg_val, pos_test, neg_test):
 
 
 def cal_recall(pos_pred, neg_pred, topk=None) -> float:
-    """utils.py:568-586: sort all scores desc, recall = positives within the
-    top-k / total positives. topk float => fraction of N_pos; topk None or
-    0 => threshold 0.5 on sigmoid-like scores is NOT used — reference
-    defaults to k = N_pos."""
-    n_pos = pos_pred.shape[0]
-    if topk is None:
-        k = n_pos
-    elif isinstance(topk, float):
-        k = int(round(topk * n_pos))
-    else:
-        k = int(topk)
-    scores = jnp.concatenate([pos_pred.reshape(-1), neg_pred.reshape(-1)])
-    labels = jnp.concatenate(
-        [jnp.ones(n_pos), jnp.zeros(neg_pred.reshape(-1).shape[0])]
+    """utils.py:568-586 exactly:
+    - topk None or 0: threshold at 0 — fraction of positives scoring > 0
+    - topk > 5: absolute top-k count
+    - otherwise: relative, k = topk * N_pos
+    Positives with score <= 0 are dropped before the sort (force_greater_0)
+    but N_pos_total keeps the full count."""
+    # host-side eval metric: plain numpy (dynamic shapes are fine here)
+    pos = np.asarray(pos_pred).reshape(-1)
+    neg = np.asarray(neg_pred).reshape(-1)
+    n_pos = pos.shape[0]
+    if topk is None or float(topk) == 0:
+        return float((pos > 0).sum() / n_pos)
+    k = int(topk) if float(topk) > 5 else int(float(topk) * n_pos)
+    pos_f = pos[pos > 0]
+    scores = np.concatenate([pos_f, neg])
+    labels = np.concatenate(
+        [np.ones(pos_f.shape[0]), np.zeros(neg.shape[0])]
     )
-    order = jnp.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")
     k = min(max(k, 0), scores.shape[0])
-    return float(jnp.sum(labels[order[:k]]) / n_pos)
+    return float(labels[order[:k]].sum() / n_pos)
 
 
 def evaluate_recall_my(pos_train, neg_train, pos_val, neg_val,

@@ -146,6 +146,14 @@ def main():
             ))
 
     stacked = np.stack(all_records)  # [seeds, epochs, cols]
+    if overrides.get("records_path") or overrides.get("records_desc"):
+        # wzRec-style persistence (utils.py:1005-1051): one npy per metric
+        from gnn_tail_generalization_tpu.utils.records import save_curve
+
+        rdir = f"{cfg.records_path}/{cfg.records_desc or cfg.dataset}"
+        for i, c in enumerate(res.columns):
+            save_curve(stacked[:, :, i], f"{c}@{cfg.train_which}", rdir)
+        print(f"records saved under {rdir}")
     final = stacked[:, -1, :]
     cols = res.columns
     print("=== mean ± std over seeds (final epoch) ===")

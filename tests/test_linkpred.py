@@ -66,12 +66,17 @@ def test_hits_and_mrr():
 
 
 def test_recall_topk():
-    pos = jnp.asarray([3.0, 2.0])
+    pos = jnp.asarray([3.0, 2.0, -1.0])
     neg = jnp.asarray([2.5, 1.0, 0.5])
-    # k = n_pos = 2: top2 = [3.0, 2.5] -> 1 positive / 2
-    np.testing.assert_allclose(metrics.cal_recall(pos, neg), 0.5, rtol=1e-6)
-    # k = 1.5 * 2 = 3: top3 = [3, 2.5, 2] -> 2 positives / 2
-    np.testing.assert_allclose(metrics.cal_recall(pos, neg, 1.5), 1.0, rtol=1e-6)
+    # topk None -> threshold-0 mode: 2 of 3 positives > 0
+    np.testing.assert_allclose(metrics.cal_recall(pos, neg), 2 / 3, rtol=1e-6)
+    # relative k = 1.0 * 3 = 3: negatives+filtered positives sorted:
+    # [3, 2.5, 2, 1, 0.5]; top3 holds 2 positives / 3 total positives
+    np.testing.assert_allclose(metrics.cal_recall(pos, neg, 1.0), 2 / 3,
+                               rtol=1e-6)
+    # absolute k = 6 (>5): everything within top-6 -> 2 (filtered) / 3
+    np.testing.assert_allclose(metrics.cal_recall(pos, neg, 6), 2 / 3,
+                               rtol=1e-6)
 
 
 @pytest.mark.parametrize("kind", ["MLP", "SAGE", "GCN", "WSAGE", "Transformer"])
