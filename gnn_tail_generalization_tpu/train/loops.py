@@ -127,6 +127,12 @@ def train_teacher(
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
+    cols = ["loss_train", "acc_train", "acc_test"] + (
+        ["head", "tail"] + (["iso"] if zero is not None else [])
+        if want_ht
+        else []
+    ) + (["linkp_train", "linkp_test"] if ew_fn is not None else [])
+
     def loss_fn(params, batch_stats, rng, c):
         vs = {"params": params}
         if batch_stats is not None:
@@ -184,25 +190,23 @@ def train_teacher(
             )
             metrics["linkp_train"] = linkp_train
             metrics["linkp_test"] = linkp_test
-        return params, new_bs, opt_state, metrics
+        # single stacked vector -> ONE device->host pull per epoch (the
+        # tunneled TPU pays full latency per transfer)
+        mvec = jnp.stack([jnp.asarray(metrics[c2], jnp.float32)
+                          for c2 in cols])
+        return params, new_bs, opt_state, mvec
 
-    cols = ["loss_train", "acc_train", "acc_test"] + (
-        ["head", "tail"] + (["iso"] if zero is not None else [])
-        if want_ht
-        else []
-    ) + (["linkp_train", "linkp_test"] if ew_fn is not None else [])
     records = np.zeros((epochs, len(cols)), np.float64)
     keep_best = "SEMLP" in cfg.train_which
     best_acc, best_params, best_bs = -1.0, None, None
 
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
-        params, batch_stats, opt_state, metrics = step(
+        params, batch_stats, opt_state, mvec = step(
             params, batch_stats, opt_state, k, const
         )
-        row = [float(metrics[c]) for c in cols]
-        records[epoch] = row
-        acc_test = float(metrics["acc_test"])
+        records[epoch] = np.asarray(mvec)
+        acc_test = float(records[epoch, cols.index("acc_test")])
         if acc_test > best_acc:
             best_acc = acc_test
             if keep_best:
@@ -314,14 +318,14 @@ def train_semlp_part1(
         tidx = sample(ke, c["test_idx"])
         out_t = part1.apply({"params": params}, c["x"][tidx], train=False)
         loss_test = jnp.mean((out_t - c["se"][tidx]) ** 2)
-        return params, opt_state, {"loss_train": loss, "loss_test": loss_test}
+        return params, opt_state, jnp.stack([loss, loss_test])
 
     cols = ["loss_train", "loss_test"]
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
         params, opt_state, m = step(params, opt_state, k, const)
-        records[epoch] = [float(m[c]) for c in cols]
+        records[epoch] = np.asarray(m)
         if log_every and epoch % log_every == 0:
             print(f"p1 Ep{epoch:03d} train/test mse "
                   f"{records[epoch, 0]:.4f}/{records[epoch, 1]:.4f}")
@@ -465,6 +469,12 @@ def train_semlp_part2(
         corr_ = ((pred == c["y"][idx]) & m).sum()
         return corr_ / jnp.maximum(m.sum(), 1) * 100.0
 
+    cols = ["loss_train", "acc_test"] + (
+        ["head", "tail"] + (["iso"] if has_zero else [])
+        if want_ht
+        else []
+    )
+
     @jax.jit
     def step(params2, opt_state, rng, c):
         kb, kd, ke = jax.random.split(rng, 3)
@@ -493,18 +503,15 @@ def train_semlp_part2(
             metrics["tail"] = subset_test_acc(params2, c, c["small_idx"])
             if "zero_idx" in c:
                 metrics["iso"] = subset_test_acc(params2, c, c["zero_idx"])
-        return params2, opt_state, metrics
+        mvec = jnp.stack([jnp.asarray(metrics[c2], jnp.float32)
+                          for c2 in cols])
+        return params2, opt_state, mvec
 
-    cols = ["loss_train", "acc_test"] + (
-        ["head", "tail"] + (["iso"] if has_zero else [])
-        if want_ht
-        else []
-    )
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
         params2, opt_state, m = step(params2, opt_state, k, const)
-        records[epoch] = [float(m[c]) for c in cols]
+        records[epoch] = np.asarray(m)
         if log_every and epoch % log_every == 0:
             print(f"p2 Ep{epoch:03d} " + " ".join(
                 f"{c}={records[epoch, i]:.2f}" for i, c in enumerate(cols)

@@ -108,17 +108,19 @@ def train_teacher_multiseed(
             metrics.update(headtail_accuracies(
                 classi, c["y"], c["train_mask"], c["large"], c["small"],
                 c.get("zero")))
-        return params, new_bs, opt_state, metrics
-
-    bs_axes = 0 if has_bs else None
-    vstep = jax.jit(jax.vmap(
-        step_one, in_axes=(0, bs_axes, 0, 0, None)
-    ))
+        mvec = jnp.stack([jnp.asarray(metrics[c2], jnp.float32)
+                          for c2 in cols])
+        return params, new_bs, opt_state, mvec
 
     cols = ["loss_train", "acc_train", "acc_test"] + (
         ["head", "tail"] + (["iso"] if zero is not None else [])
         if want_ht else []
     )
+
+    bs_axes = 0 if has_bs else None
+    vstep = jax.jit(jax.vmap(
+        step_one, in_axes=(0, bs_axes, 0, 0, None)
+    ))
     records = np.zeros((n_seeds, epochs, len(cols)))
     run_keys = keys
     for epoch in range(epochs):
@@ -126,8 +128,7 @@ def train_teacher_multiseed(
         params, batch_stats, opt_state, m = vstep(
             params, batch_stats, opt_state, run_keys, const
         )
-        for i, c in enumerate(cols):
-            records[:, epoch, i] = np.asarray(m[c])
+        records[:, epoch, :] = np.asarray(m)  # [S, n_cols], one pull
         if log_every and epoch % log_every == 0:
             print(f"[multiseed] ep {epoch}: acc_test="
                   f"{records[:, epoch, 2].round(2).tolist()}")
