@@ -9,8 +9,6 @@ bound proxy for EGI transfer loss difference.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 import scipy.sparse as ssp
 

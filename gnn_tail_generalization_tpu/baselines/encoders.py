@@ -7,8 +7,6 @@ classes) and the 2-layer mean-SAGE used by VGAE
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax.numpy as jnp
 

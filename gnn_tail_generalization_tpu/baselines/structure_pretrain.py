@@ -14,8 +14,6 @@ Reference parity: ``/root/reference/Link_prediction_baseline/models/structure_pr
 """
 from __future__ import annotations
 
-from typing import List, Tuple
-
 import numpy as np
 
 import flax.linen as nn
@@ -23,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.core import Graph
-from .encoders import GINEncoder, GINLayer
+from .encoders import GINLayer
 
 
 class NeuralTensorLayer(nn.Module):

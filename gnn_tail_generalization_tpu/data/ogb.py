@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import gzip
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..graph.core import symmetrize

@@ -15,8 +15,6 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Optional
-
 import numpy as np
 
 from .datasets import NodeData, normalize_features

@@ -21,8 +21,6 @@ Reference parity: ``/root/reference/Link_prediction_model/edge_LP.py``
 """
 from __future__ import annotations
 
-from typing import Tuple
-
 import numpy as np
 
 import jax

@@ -16,8 +16,6 @@ segment max/sum (no scatter thanks to dst-sorted edges... XLA segment ops).
 """
 from __future__ import annotations
 
-from typing import Sequence
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

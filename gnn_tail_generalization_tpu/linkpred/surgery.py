@@ -22,7 +22,7 @@ All host-side numpy; a one-time preprocessing stage.
 from __future__ import annotations
 
 import dataclasses
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np

@@ -11,10 +11,7 @@ Reference parity: ``/root/reference/GNN_model/GNN_normalizations.py:9-65``.
 """
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import flax.linen as nn
-import jax.numpy as jnp
 
 from ..config import Config
 from ..graph.core import Graph

@@ -16,8 +16,6 @@ Pallas kernel on large ones.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ from __future__ import annotations
 from typing import Callable, Sequence
 
 import flax.linen as nn
-import jax.numpy as jnp
 
 # torch nn.Linear default init: kaiming_uniform(a=sqrt(5)) on W == uniform
 # +-1/sqrt(fan_in); bias uniform +-1/sqrt(fan_in). We use flax defaults

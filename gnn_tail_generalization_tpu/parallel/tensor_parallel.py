@@ -20,8 +20,6 @@ this is the TPU-native scale-out design for dims beyond one chip's HBM.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
-
 import numpy as np
 
 import jax

@@ -21,7 +21,7 @@ senders=e1 to match.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import numpy as np
 

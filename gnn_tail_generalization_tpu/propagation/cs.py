@@ -16,7 +16,7 @@ label_propagation from train labels.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

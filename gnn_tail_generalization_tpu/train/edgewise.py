@@ -20,8 +20,6 @@ reference's sort-based rank differs only on exact score ties.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-
 import numpy as np
 
 import jax

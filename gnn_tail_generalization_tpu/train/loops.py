@@ -35,7 +35,7 @@ from ..models.semlp import (
     SEMLPPart2,
     neighbor_contrastive_loss,
 )
-from ..models.teacher import TeacherGNN, backbone_from_config
+from ..models.teacher import TeacherGNN
 from ..propagation import correlation as corr
 from .evalutil import headtail_accuracies, masked_accuracy
 from .optim import make_optimizer
