@@ -151,6 +151,10 @@ class Config:
     num_groups: Optional[int] = None
     graph_dropout: float = 0.2
     layerwise_dropout: bool = False
+    records_desc: str = ""  # training-records run name (base_options.py:63)
+    records_path: str = "."
+    prog: str = ""  # batch-running grid cell, e.g. "1-0-2" (base_options.py:95)
+    rexName: str = "res.npy"  # batch-record file (base_options.py:96)
 
     # dataset-derived (reset_dataset_dependent_parameters)
     num_feats: int = 0

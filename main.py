@@ -100,6 +100,20 @@ def main():
           f"type_trick={cfg.type_trick} num_layers={cfg.num_layers} "
           f"dim_hidden={cfg.dim_hidden}")
 
+    rex = cell = None
+    if cfg.prog:
+        # tensorRex batch-grid resumption (main.py:54-124): skip completed
+        # cells, persist the final row on completion
+        from gnn_tail_generalization_tpu.utils.records import TensorRex
+
+        cell = tuple(int(v) for v in cfg.prog.replace(",", "-").split("-"))
+        rex = TensorRex(f"{cfg.records_path}/{cfg.rexName}",
+                        grid_shape=tuple(c + 1 for c in cell),
+                        record_len=8)
+        if rex.is_done(cell):
+            print(f"rex cell {cell} already done; skipping")
+            return
+
     data = load_dataset(cfg, data_root)
     if data.name.startswith("synthetic"):
         print(f"NOTE: no raw dataset files found under {data_root!r}; "
@@ -162,6 +176,9 @@ def main():
     best_i = cols.index("acc_test") if "acc_test" in cols else 0
     print(f"best acc_test over epochs, per seed: "
           f"{stacked[:, :, best_i].max(axis=1)}")
+    if rex is not None:
+        rex.record(cell, final.mean(axis=0))
+        print(f"rex cell {cell} recorded to {cfg.records_path}/{cfg.rexName}")
 
 
 if __name__ == "__main__":
