@@ -88,6 +88,7 @@ def train_teacher(
     epochs: Optional[int] = None,
     log_every: int = 0,
     save_dir: Optional[str] = None,
+    epoch_block: int = 1,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
     # Device data is passed to the jitted step as ARGUMENTS, never closed
@@ -159,8 +160,7 @@ def train_teacher(
         new_bs = new_vars.get("batch_stats") if mutable else batch_stats
         return loss, (new_bs, linkp_train)
 
-    @jax.jit
-    def step(params, batch_stats, opt_state, rng, c):
+    def step_impl(params, batch_stats, opt_state, rng, c):
         (loss, (new_bs, linkp_train)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(params, batch_stats, rng, c)
@@ -196,26 +196,61 @@ def train_teacher(
                           for c2 in cols])
         return params, new_bs, opt_state, mvec
 
+    step = jax.jit(step_impl)
+
     records = np.zeros((epochs, len(cols)), np.float64)
     keep_best = "SEMLP" in cfg.train_which
     best_acc, best_params, best_bs = -1.0, None, None
 
-    for epoch in range(epochs):
-        k_run, k = jax.random.split(k_run)
-        params, batch_stats, opt_state, mvec = step(
-            params, batch_stats, opt_state, k, const
-        )
-        records[epoch] = np.asarray(mvec)
-        acc_test = float(records[epoch, cols.index("acc_test")])
-        if acc_test > best_acc:
-            best_acc = acc_test
-            if keep_best:
-                best_params = jax.tree.map(lambda a: a, params)
-                best_bs = batch_stats
-        if log_every and epoch % log_every == 0:
-            print(f"Ep{epoch:03d} " + " ".join(
-                f"{c}={records[epoch, i]:.2f}" for i, c in enumerate(cols)
-            ))
+    # epoch_block > 1: scan blocks of epochs inside one jit, one host pull
+    # per block (amortizes tunnel latency). Best-ckpt capture needs params
+    # at the best epoch, so keep_best forces per-epoch stepping.
+    block = 1 if keep_best else max(1, epoch_block)
+
+    if block > 1:
+        @jax.jit
+        def multi_step(params, batch_stats, opt_state, k_run, c):
+            # consumes the SAME k_run split chain as the per-epoch loop, so
+            # results are bitwise-identical across block sizes
+            def body(carry, _):
+                p, bs, o, kr = carry
+                kr, k = jax.random.split(kr)
+                p, bs, o, mvec = step_impl(p, bs, o, k, c)
+                return (p, bs, o, kr), mvec
+
+            (params, batch_stats, opt_state, k_run), ms = jax.lax.scan(
+                body, (params, batch_stats, opt_state, k_run), None,
+                length=block,
+            )
+            return params, batch_stats, opt_state, k_run, ms
+
+    epoch = 0
+    while epoch < epochs:
+        if block > 1 and epochs - epoch >= block:
+            params, batch_stats, opt_state, k_run, ms = multi_step(
+                params, batch_stats, opt_state, k_run, const
+            )
+            records[epoch:epoch + block] = np.asarray(ms)
+            n_done = block
+        else:
+            k_run, k = jax.random.split(k_run)
+            params, batch_stats, opt_state, mvec = step(
+                params, batch_stats, opt_state, k, const
+            )
+            records[epoch] = np.asarray(mvec)
+            n_done = 1
+        for e in range(epoch, epoch + n_done):
+            acc_test = float(records[e, cols.index("acc_test")])
+            if acc_test > best_acc:
+                best_acc = acc_test
+                if keep_best:
+                    best_params = jax.tree.map(lambda a: a, params)
+                    best_bs = batch_stats
+            if log_every and e % log_every == 0:
+                print(f"Ep{e:03d} " + " ".join(
+                    f"{c}={records[e, i]:.2f}" for i, c in enumerate(cols)
+                ))
+        epoch += n_done
 
     final_vars = {"params": params}
     if batch_stats is not None:

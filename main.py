@@ -40,16 +40,20 @@ def parse_args():
             parser.add_argument(f"--{f.name}", type=cast, default=None)
     parser.add_argument("--data_root", type=str, default="data")
     parser.add_argument("--log_every", type=int, default=20)
+    parser.add_argument("--epoch_block", type=int, default=1,
+                        help="epochs per jitted scan block (amortizes "
+                             "host-sync latency on tunneled devices)")
     ns = parser.parse_args()
     overrides = {
         k: v for k, v in vars(ns).items()
-        if v is not None and k not in ("data_root", "log_every")
+        if v is not None and k not in ("data_root", "log_every",
+                                       "epoch_block")
     }
     # cast int-encoded bools back
     for f in dataclasses.fields(Config):
         if f.name in overrides and isinstance(f.default, bool):
             overrides[f.name] = bool(overrides[f.name])
-    return overrides, ns.data_root, ns.log_every
+    return overrides, ns.data_root, ns.log_every, ns.epoch_block
 
 
 def run_i2gtl(cfg, data_root, log_every):
@@ -92,7 +96,7 @@ def main():
     from gnn_tail_generalization_tpu.data.datasets import load_dataset, prepare
     from gnn_tail_generalization_tpu.train import loops
 
-    overrides, data_root, log_every = parse_args()
+    overrides, data_root, log_every, epoch_block = parse_args()
     cfg = build_config(**overrides)
     if cfg.exp_mode == "I2_GTL" and cfg.task != "nodeC":
         return run_i2gtl(cfg, data_root, log_every)
@@ -147,9 +151,16 @@ def main():
             ))
     else:
         for seed in range(cfg.N_exp):
-            res = loops.run_experiment(
-                cfg, pd, seed=cfg.random_seed + seed, log_every=log_every
-            )
+            if cfg.train_which == "TeacherGNN":
+                res = loops.train_teacher(
+                    cfg, pd, seed=cfg.random_seed + seed,
+                    log_every=log_every, epoch_block=epoch_block,
+                )
+            else:
+                res = loops.run_experiment(
+                    cfg, pd, seed=cfg.random_seed + seed,
+                    log_every=log_every
+                )
             if isinstance(res, dict):  # pure LP
                 print(json.dumps(res))
                 return

@@ -113,3 +113,11 @@ def test_multiseed_vmapped_training(small_setup):
     # all of them learn
     for r in results:
         assert r.records[-1, 0] < r.records[0, 0]
+
+
+def test_epoch_block_equivalence(small_setup):
+    """epoch_block scanning consumes the same RNG chain: identical records."""
+    cfg, pd = small_setup
+    r1 = loops.train_teacher(cfg, pd, seed=4, epochs=10, epoch_block=1)
+    r2 = loops.train_teacher(cfg, pd, seed=4, epochs=10, epoch_block=5)
+    np.testing.assert_allclose(r1.records, r2.records, rtol=1e-4, atol=1e-3)
