@@ -121,3 +121,48 @@ def test_epoch_block_equivalence(small_setup):
     r1 = loops.train_teacher(cfg, pd, seed=4, epochs=10, epoch_block=1)
     r2 = loops.train_teacher(cfg, pd, seed=4, epochs=10, epoch_block=5)
     np.testing.assert_allclose(r1.records, r2.records, rtol=1e-4, atol=1e-3)
+
+
+def test_semlp_part2_grad_flows_only_to_part2_and_alphas(small_setup):
+    """Reference semantics (MLP_model/__init__.py:107-108): part-1 output is
+    detached — part-2 training must leave part-1 parameters untouched."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_tail_generalization_tpu.models.semlp import SEMLPPart1, SEMLPPart2
+
+    cfg, pd = small_setup
+    cfg = dataclasses.replace(cfg, train_which="SEMLP")
+    se_dim = 16
+    x = jnp.asarray(pd.x[:32])
+    se_table = jnp.asarray(np.random.default_rng(0).normal(
+        size=(pd.n_node, se_dim)).astype(np.float32))
+    p1 = SEMLPPart1(cfg, se_dim=se_dim)
+    k = jax.random.PRNGKey(0)
+    vs1 = p1.init({"params": k, "dropout": k}, x, train=True)
+    p2 = SEMLPPart2(cfg)
+    p1_out = p1.apply(vs1, x, train=False)
+    vs2 = p2.init({"params": k, "dropout": k}, x, p1_out, se_table,
+                  train=True)
+
+    def loss(params2, params1):
+        out = p1.apply({"params": params1}, x, train=False)
+        logits = p2.apply({"params": params2}, x, out, se_table, train=False)
+        return jnp.sum(logits ** 2)
+
+    g2, g1 = jax.grad(loss, argnums=(0, 1))(vs2["params"], vs1["params"])
+    # part-1 gradients are identically zero (stop_gradient inside part 2)
+    assert all(float(jnp.abs(g).max()) == 0.0 for g in jax.tree.leaves(g1))
+    # alphas DO receive gradient
+    assert float(jnp.abs(g2["alphas"]).max()) > 0.0
+
+
+def test_cs_pipeline_with_spectral(small_setup):
+    from gnn_tail_generalization_tpu.propagation import cs
+
+    cfg, pd = small_setup
+    cfg = dataclasses.replace(
+        cfg, preStep=dataclasses.replace(cfg.preStep,
+                                         pre_methods="diffusion+spectral"),
+    )
+    out = cs.run_cs_pipeline(cfg, pd, epochs=10)
+    assert np.isfinite(out["acc_test"])
