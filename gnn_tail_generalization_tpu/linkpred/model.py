@@ -295,6 +295,38 @@ def train_linkpred(
         return model.apply({"params": params}, h, edges[:, 0], edges[:, 1],
                            train=False, method=model.predict)
 
+    if cfg.encoder in ("CN", "AA", "PPR"):
+        # heuristic short-circuit (model.py:122-124,176-178): no training;
+        # score every split with the heuristic on the message graph
+        from . import heuristics as H
+
+        def hscore(edges):
+            return jnp.asarray(H.heuristic_scores(
+                cfg.encoder, msg_edges, n_node,
+                np.asarray(edges).T).astype(np.float32))
+
+        pos_train = hscore(split_edge["train"]["edge"])
+        pos_val = hscore(split_edge["valid"]["edge"])
+        neg_val = hscore(split_edge["valid"]["edge_neg"])
+        pos_test = hscore(split_edge["test"]["edge"])
+        neg_test = hscore(split_edge["test"]["edge_neg"])
+        m = cfg.eval_metric
+        if m == "hits":
+            results = M.evaluate_hits(pos_val, neg_val, pos_test, neg_test)
+        elif m == "mrr":
+            results = M.evaluate_mrr(pos_val, neg_val, pos_test, neg_test)
+        else:
+            topk = float(m.split("@")[1]) if "@" in m else None
+            results = M.evaluate_recall_my(pos_train, neg_val, pos_val,
+                                           neg_val, pos_test, neg_test,
+                                           topk=topk)
+        logger = Logger(1)
+        vals = list(results.values())[0]
+        logger.add_result(0, vals[-2:])
+        return {"logger": logger, "stats": logger.statistics(),
+                "last_results": results, "params": None,
+                "split_edge": split_edge}
+
     logger = Logger(runs)
     root = jax.random.PRNGKey(seed)
     results_last = None

@@ -135,3 +135,14 @@ def test_linkpred_mlp_encoder_with_feats(rng):
                              batch_size=64, num_neg=2, eval_metric="mrr")
     out = lpm.train_linkpred(cfg, x, e, n, epochs=2, runs=1)
     assert "MRR" in out["last_results"]
+
+
+def test_heuristic_encoder_short_circuit(rng):
+    n = 50
+    e = core.remove_self_loops(core.symmetrize(
+        np.stack([rng.integers(0, n, 300), rng.integers(0, n, 300)]), n))
+    for enc in ["CN", "AA"]:
+        cfg = lpm.LinkPredConfig(encoder=enc, eval_metric="hits")
+        out = lpm.train_linkpred(cfg, None, e, n, epochs=1, runs=1)
+        assert "Hits@20" in out["last_results"], enc
+        assert out["params"] is None  # no training happened
