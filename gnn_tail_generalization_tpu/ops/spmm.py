@@ -78,13 +78,27 @@ def _spmm_impl(g: Graph, x, method: str, precision):
     if method == "gather":
         return _spmm_gather(g.senders, g.receivers, g.edge_weight, x, g.n_node)
     if method in ("pallas", "pallas_bf16"):
+        bf16 = method == "pallas_bf16"
+        if g.plans is None:
+            # graceful fallback when no plan was built (small graphs use the
+            # dense path): keep the bf16-operand / f32-accumulate intent on
+            # the MXU matmul; gather falls back to f32 (bf16 segment_sum
+            # would accumulate in bf16 — unsafe for hub rows).
+            if g.dense_adj is not None:
+                if bf16:
+                    return jnp.matmul(
+                        g.dense_adj.astype(jnp.bfloat16),
+                        x.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32,
+                    )
+                return _spmm_dense(g.dense_adj, x, precision)
+            return _spmm_gather(g.senders, g.receivers, g.edge_weight, x,
+                                g.n_node)
         from .spmm_pallas import spmm_via_plan
 
-        assert g.plans is not None, \
-            "build the graph with with_plans=True for the pallas path"
         # Mosaic only targets real TPUs; interpret elsewhere (tests)
         interpret = jax.default_backend() != "tpu"
-        dtype = jnp.bfloat16 if method == "pallas_bf16" else jnp.float32
+        dtype = jnp.bfloat16 if bf16 else jnp.float32
         return spmm_via_plan(g.plans[0], x, interpret=interpret,
                              compute_dtype=dtype)
     raise ValueError(f"unknown spmm method {method!r}")
