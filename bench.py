@@ -35,7 +35,7 @@ def _log(*a):
 
 
 def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
-                   seed=0):
+                   n_edge=1_166_243, seed=0):
     import dataclasses
 
     from gnn_tail_generalization_tpu.config import build_config
@@ -45,6 +45,8 @@ def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
         synthetic_features_labels,
     )
 
+    from gnn_tail_generalization_tpu.config import apply_arch_configs
+
     cfg = build_config(dataset="ogbn-arxiv", train_which="TeacherGNN",
                        whetherHasSE="100", se_reg=0.5)
     # TPU-native configuration: bf16 aggregation operands with f32 MXU
@@ -52,9 +54,12 @@ def build_workload(n_node=169343, n_feat=128, n_hidden=256, n_class=40,
     # RESULTS.md); the naive baseline below stays f32 like the reference.
     cfg = dataclasses.replace(cfg, use_special_split=False,
                               do_deg_analyze=False, want_headtail=False,
-                              spmm_method="pallas_bf16")
+                              spmm_method="pallas_bf16",
+                              N_nodes=n_node, num_feats=n_feat,
+                              num_classes=n_class, dim_hidden=n_hidden)
+    cfg = apply_arch_configs(cfg)
     x, y = synthetic_features_labels(n_node, n_feat, n_class, seed)
-    e = fast_powerlaw_graph(n_node, 1_166_243, seed)  # arxiv edge count
+    e = fast_powerlaw_graph(n_node, n_edge, seed)  # default: arxiv count
     rng = np.random.default_rng(seed)
     train = rng.random(n_node) < 0.54  # arxiv train fraction
     data = NodeData(x=x, y=y, edge_index=e, train_mask=train, val_mask=None,

@@ -22,7 +22,7 @@ def test_bench_workload_small():
     import bench
 
     cfg, pd = bench.build_workload(n_node=1500, n_feat=32, n_hidden=32,
-                                   n_class=5)
+                                   n_class=5, n_edge=6000)
     assert pd.graph.n_edge > 0
     step, params, opt_state, const = bench.make_framework_step(cfg, pd)
     import jax.numpy as jnp
