@@ -1,10 +1,14 @@
 """Kernel-level microbenchmarks on the real TPU (not run by the driver).
 
 Compares SpMM implementations at ogbn-arxiv scale:
-  - xla:    gather + sorted segment_sum (scatter-add lowering)
-  - pallas: gather + segment-matmul kernel (ops/spmm_pallas.py)
-Forward-only and forward+backward. Timing syncs via host readback (see
-memory note: block_until_ready is unreliable on the tunneled backend).
+  - xla:        gather + sorted segment_sum (scatter-add lowering)
+  - pallas f32: 128-lane sliced gather + segment-matmul kernel
+  - pallas bf16 packed: bit-packed pair gather (ops/spmm_pallas.py)
+and reports effective HBM bandwidth against the measured gather-emitter
+envelope (~320 Mrow/s / 327 GB/s r+w at 512B rows) and the 819 GB/s v5e
+peak, so the headline is roofline-honest rather than only vs the in-repo
+naive path. Forward-only and forward+backward. Timing syncs via host
+readback (block_until_ready is unreliable on the tunneled backend).
 """
 import time
 
@@ -13,9 +17,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+HBM_PEAK_GBS = 819.0  # v5e
+EMITTER_MROWS = 320.0  # measured row-gather cap at <=512B/128-lane rows
+
 
 def sync(x):
-    return float(jnp.sum(x))
+    return float(jnp.sum(x.astype(jnp.float32)))
 
 
 def timeit(fn, *args, iters=10):
@@ -37,25 +44,39 @@ def main(n_node=169343, n_edge=1_166_243, d=256):
     e = core.standard_pipeline(fast_powerlaw_graph(n_node, n_edge, 0), n_node)
     g = core.build_graph(e, n_node, with_dense=False)
     plans = sp.build_plans(e, n_node)
-    print(f"edges={g.n_edge} chunks={plans[0].n_chunks} "
-          f"pad_ratio={plans[0].n_chunks * plans[0].eb / g.n_edge:.2f}")
+    plan = plans[0]
+    E, Epad = g.n_edge, plan.n_chunks * plan.eb
+    print(f"edges={E} chunks={plan.n_chunks} pad_ratio={Epad / E:.2f}")
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(n_node, d)).astype(np.float32))
 
     f_xla = jax.jit(lambda g, x: spmm(g, x, "gather"))
     f_pal = jax.jit(lambda plans, x: sp.spmm_pallas_pair(plans, x))
+    f_pkd = jax.jit(
+        lambda plans, x: sp.spmm_pallas_pair(plans, x,
+                                             compute_dtype=jnp.bfloat16))
 
     # correctness cross-check on device
     y1 = f_xla(g, x)
-    y2 = f_pal(plans, x)
-    err = float(jnp.max(jnp.abs(y1 - y2)) / (jnp.max(jnp.abs(y1)) + 1e-9))
-    print(f"rel err xla vs pallas: {err:.2e}")
+    for name, fn in (("pallas f32", f_pal), ("pallas bf16-packed", f_pkd)):
+        y2 = fn(plans, x)
+        err = float(jnp.max(jnp.abs(y1 - y2)) / (jnp.max(jnp.abs(y1)) + 1e-9))
+        print(f"rel err xla vs {name}: {err:.2e}")
+
+    def report(name, t, bytes_moved):
+        gbs = bytes_moved / t / 1e9
+        row_floor = Epad / (EMITTER_MROWS * 1e6)
+        print(f"fwd {name:20s} {t * 1e3:8.3f} ms  {E / t / 1e6:7.1f} Medge/s  "
+              f"{gbs:6.1f} GB/s eff ({gbs / HBM_PEAK_GBS * 100:4.1f}% HBM peak; "
+              f"gather-emitter floor {row_floor * 1e3:.2f} ms)")
 
     t_xla = timeit(f_xla, g, x)
+    report("xla gather+scatter", t_xla, 3 * Epad * d * 4)
     t_pal = timeit(f_pal, plans, x)
-    print(f"fwd: xla {t_xla*1e3:.3f} ms ({g.n_edge/t_xla/1e9:.2f} Gedge/s) | "
-          f"pallas {t_pal*1e3:.3f} ms ({g.n_edge/t_pal/1e9:.2f} Gedge/s)")
+    report("pallas f32", t_pal, 3 * Epad * d * 4)
+    t_pkd = timeit(f_pkd, plans, x)
+    report("pallas bf16-packed", t_pkd, 3 * Epad * d * 2)
 
     # fwd+bwd
     ct = jnp.ones_like(x)
@@ -64,9 +85,25 @@ def main(n_node=169343, n_edge=1_166_243, d=256):
     g_pal = jax.jit(jax.grad(
         lambda x, plans, ct: jnp.vdot(sp.spmm_pallas_pair(plans, x), ct),
         argnums=0))
+    g_pkd = jax.jit(jax.grad(
+        lambda x, plans, ct: jnp.vdot(
+            sp.spmm_pallas_pair(plans, x, compute_dtype=jnp.bfloat16), ct),
+        argnums=0))
     tg_xla = timeit(g_xla, x, g, ct)
     tg_pal = timeit(g_pal, x, plans, ct)
-    print(f"bwd: xla {tg_xla*1e3:.3f} ms | pallas {tg_pal*1e3:.3f} ms")
+    tg_pkd = timeit(g_pkd, x, plans, ct)
+    print(f"bwd: xla {tg_xla * 1e3:.3f} ms | pallas f32 {tg_pal * 1e3:.3f} ms"
+          f" | pallas bf16-packed {tg_pkd * 1e3:.3f} ms")
+
+    # narrow-d check: the gather is row-bound, so d=40 (classes) costs the
+    # same rows/s as d=256 — padding waste is lanes, not time
+    xn = jnp.asarray(rng.normal(size=(n_node, 40)).astype(np.float32))
+    t_nar = timeit(jax.jit(
+        lambda plans, x: sp.spmm_pallas_pair(plans, x,
+                                             compute_dtype=jnp.bfloat16)),
+        plans, xn)
+    print(f"fwd narrow d=40 bf16: {t_nar * 1e3:.3f} ms "
+          f"({E / t_nar / 1e6:.1f} Medge/s)")
 
 
 if __name__ == "__main__":

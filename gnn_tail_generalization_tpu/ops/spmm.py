@@ -23,11 +23,13 @@ Three interchangeable execution paths behind one differentiable entry point:
     lowers without a full scatter. HBM traffic ~ E * d * 4B per pass —
     the bandwidth-bound speed-of-light for an unstructured gather.
 
-``pallas``
-    Fused gather+scale+accumulate kernel (ops/spmm_pallas.py) that turns the
-    segment reduction into an MXU matmul against an on-the-fly one-hot
-    segment matrix and avoids materializing the [E, d] gathered intermediate
-    in HBM.
+``pallas`` / ``pallas_bf16``
+    Scatter-free kernel (ops/spmm_pallas.py): an XLA row gather materializes
+    the [E_pad, d] (bf16: bit-packed [E_pad, d/2]) intermediate in HBM, and
+    a Pallas kernel turns the segment reduction into MXU matmuls against an
+    on-the-fly one-hot segment matrix. The gather is the measured bound
+    (~320 Mrow/s emitter cap); the bf16 path packs two features per f32
+    lane so the gather runs in its 512B/128-lane fast regime.
 
 The VJP is the transposed-graph SpMM (dx = A^T dy), using the sender-sorted
 edge view built once at graph construction; the per-edge-weight cotangent is

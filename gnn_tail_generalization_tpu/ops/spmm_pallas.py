@@ -26,18 +26,33 @@ in either direction.
 FLOP cost: E_pad * RB * d * 2 per SpMM (RB=128 keeps the systolic array
 full).
 
-Measured roofline (v5e chip, 850k edges, d=256, f32):
-  XLA gather+segment_sum (scatter):    19.5 ms
-  this kernel, dst-order gather:       10.2 ms   (1.9x)
-  this kernel, sender-sorted chunks:    7.74 ms  (2.5x)
-  standalone sorted XLA row gather:     8.9 ms
-Within a row block the edge order is free (S absorbs any permutation), so
-the plan sorts each block's edges by SENDER: the gather sees
-quasi-monotonic indices (locality), and overlapped with the MXU
-segment-matmul the fused pipeline beats even the standalone sorted
-gather. Residual frontier: XLA's row-gather emitter (row-op bound — bf16
-inputs show no speedup); per-edge DMA in-kernel is issue-rate bound and
-loses. eb=1024 is the sweet spot.
+Gather-emitter operating curve (measured, v5e, 2.8M rows from 169k):
+  row width <= 512B AND <= 128 lanes:  ~300-320 Mrow/s  (327 GB/s r+w at 512B)
+  bf16 d=256 (512B but 256 lanes):      202 Mrow/s
+  any row  > 512B:                      60-73 Mrow/s    (emitter cliff)
+  index order (random vs sorted):       no effect at this scale
+The emitter is ROW-bound below 512B: narrow features gather at the same
+rows/s as 512B rows, so padding d<128 to 128 lanes costs nothing — the
+per-SpMM floor is E / 320M rows/s regardless of d.
+
+Packed-pair gather (the round-2 redesign): for bf16 compute, each
+256-feature group is packed host..device-side into ONE f32 [N, 128] array
+(f32 lane l = bf16 features (l, l+128) bit-packed). The gather then runs
+at the 512B/128-lane sweet spot — 1.6x the direct bf16-row gather — and
+the kernel unpacks in VMEM with two bitcast+shift ops per half before the
+MXU segment-matmuls. Bit-exact vs. the direct bf16 path.
+
+Measured at ogbn-arxiv scale (2.5M edges, d=256, full SpMM):
+  XLA gather+segment_sum f32:          ~44 ms
+  this kernel f32 (sliced gathers):    ~21 ms
+  this kernel bf16 (direct gather):    16.9 ms
+  this kernel bf16 packed-pair:        11.7 ms   (3.7x vs XLA f32)
+  packed gather alone 8.75 ms / kernel alone 6.18 ms -> the pipeline
+  overlaps ~3ms of the two.
+Per-edge DMA in-kernel remains issue-rate bound (~30-100ns/descriptor x
+2.8M rows) and cannot beat the emitter; hub-resident VMEM panels were
+evaluated and rejected (top-2048 senders cover only 5.9% of edges after
+symmetrization on the arxiv-shaped benchmark graph).
 """
 from __future__ import annotations
 
@@ -220,21 +235,132 @@ def segment_matmul(plan: SegmentMatmulPlan, g: jax.Array,
       plan.weights, g)
 
 
+# --- packed-pair bf16 path -------------------------------------------------
+
+
+def pack_bf16_pairs(x: jax.Array) -> jax.Array:
+    """[N, d] float, d a multiple of 256 -> [N, d//2] f32 where, within each
+    256-feature group g, f32 lane l packs bf16 features (g*256+l+128) in the
+    high 16 bits and (g*256+l) in the low 16. The cast to bf16 is RTNE
+    (jnp astype) — bit-identical operands to the direct-bf16 path."""
+    n, d = x.shape
+    assert d % 256 == 0, d
+    xb = x.astype(jnp.bfloat16).reshape(n, d // 256, 2, 128)
+    lo = xb[:, :, 0, :].astype(jnp.float32)
+    hi = xb[:, :, 1, :].astype(jnp.float32)
+    ulo = jax.lax.bitcast_convert_type(lo, jnp.uint32)
+    uhi = jax.lax.bitcast_convert_type(hi, jnp.uint32)
+    u = (uhi & np.uint32(0xFFFF0000)) | (ulo >> 16)
+    return jax.lax.bitcast_convert_type(u, jnp.float32).reshape(n, d // 2)
+
+
+def _unpack_pair(u):
+    """uint32 [m, 128] -> (lo, hi) bf16 [m, 128] (values, not bit views)."""
+    f_lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    f_hi = jax.lax.bitcast_convert_type(u & np.uint32(0xFFFF0000), jnp.float32)
+    return f_lo.astype(jnp.bfloat16), f_hi.astype(jnp.bfloat16)
+
+
+def _segment_matmul_packed_kernel(block_ref, first_ref, dst_ref, w_ref,
+                                  *rest, rb: int, n_groups: int):
+    gp_refs, y_ref = rest[:n_groups], rest[n_groups]
+    i = pl.program_id(0)
+
+    @pl.when(first_ref[i] == 1)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    dst = dst_ref[:]
+    w = w_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rb, dst.shape[0]), 0)
+    s = jnp.where(rows == dst[None, :], w[None, :], 0.0).astype(jnp.bfloat16)
+
+    for k in range(n_groups):
+        u = jax.lax.bitcast_convert_type(gp_refs[k][:], jnp.uint32)
+        f_lo, f_hi = _unpack_pair(u)
+        y_ref[:, k * 256: k * 256 + 128] += jnp.dot(
+            s, f_lo, preferred_element_type=jnp.float32)
+        y_ref[:, k * 256 + 128: (k + 1) * 256] += jnp.dot(
+            s, f_hi, preferred_element_type=jnp.float32)
+
+
+def segment_matmul_packed(plan: SegmentMatmulPlan, gps, interpret=False):
+    """gps: tuple of [n_chunks*eb, 128] f32 packed-pair gathers (one per
+    256-feature group). Returns y: [n_blocks*rb, 256*len(gps)] f32."""
+    rb, eb = plan.rb, plan.eb
+    n_groups = len(gps)
+    d_out = 256 * n_groups
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(plan.n_chunks,),
+        in_specs=[
+            pl.BlockSpec((eb,), lambda i, blk, first: (i,),
+                         memory_space=pltpu.VMEM),  # dst_local
+            pl.BlockSpec((eb,), lambda i, blk, first: (i,),
+                         memory_space=pltpu.VMEM),  # weights
+        ] + [
+            pl.BlockSpec((eb, 128), lambda i, blk, first: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(n_groups)
+        ],
+        out_specs=pl.BlockSpec((rb, d_out), lambda i, blk, first: (blk[i], 0),
+                               memory_space=pltpu.VMEM),
+    )
+    kernel = partial(_segment_matmul_packed_kernel, rb=rb, n_groups=n_groups)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.n_blocks * rb, d_out),
+                                       jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * plan.n_chunks * eb * rb * d_out,
+            bytes_accessed=plan.n_chunks * eb * n_groups * 128 * 4
+            + plan.n_blocks * rb * d_out * 4,
+            transcendentals=0,
+        ),
+    )(plan.block_of_chunk, plan.first_of_block, plan.dst_local,
+      plan.weights, *gps)
+
+
+def _gather_sliced(x: jax.Array, senders: jax.Array) -> jax.Array:
+    """Row gather. Wide f32 rows (>512B) sit on the slow side of the
+    emitter cliff, but every workaround measured WORSE on the tunneled v5e:
+    lane slicing (x[:, a:b][senders]) gets fused back into a full-width
+    gather, and [N, k*128] -> [N*k, 128] reshapes are physical retilings on
+    TPU (row 77ms vs 43ms plain at arxiv scale). The fast wide path is the
+    bf16 packed-pair pipeline; plain gather is kept for f32."""
+    return x[senders]
+
+
 def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
                   interpret: bool = False,
                   compute_dtype=jnp.float32) -> jax.Array:
     """Full SpMM: XLA gather + Pallas segment-matmul. x: [N, d_any].
 
-    With ``compute_dtype=bfloat16`` the cast happens BEFORE the gather so
-    the materialized [E, d] intermediate moves half the HBM bytes; the MXU
-    still accumulates in f32 (preferred_element_type)."""
+    ``compute_dtype=bfloat16``: packed-pair path — x is cast to bf16 (RTNE)
+    and bit-packed two-features-per-f32-lane BEFORE the gather, so the
+    gather moves 512B 128-lane rows (the emitter sweet spot) and half the
+    direct-bf16 HBM bytes; the kernel unpacks in VMEM and the MXU still
+    accumulates in f32. ``float32``: 128-lane sliced gathers + plain
+    kernel."""
     d = x.shape[-1]
+    if compute_dtype == jnp.bfloat16 and d > 128:
+        d_pad = _round_up(d, 256)
+        if d_pad != d:
+            x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
+        xp = pack_bf16_pairs(x)  # [N, d_pad//2] f32
+        gps = tuple(
+            xp[:, k: k + 128][plan.senders] for k in range(0, d_pad // 2, 128)
+        )
+        y = segment_matmul_packed(plan, gps, interpret=interpret)
+        return y[: plan.n_node, :d]
     d_pad = _round_up(d, 128)
     if d_pad != d:
         x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
     if compute_dtype != x.dtype:
         x = x.astype(compute_dtype)
-    g = x[plan.senders]  # [n_chunks*eb, d_pad] — XLA gather
+    g = _gather_sliced(x, plan.senders)  # [n_chunks*eb, d_pad]
     y = segment_matmul(plan, g, interpret=interpret,
                        compute_dtype=compute_dtype)
     return y[: plan.n_node, :d]

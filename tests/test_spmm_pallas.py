@@ -99,3 +99,71 @@ def test_spmm_method_pallas_bf16(rng):
     # bf16 operands, f32 accumulation: loose tolerance
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=2e-2,
                                atol=2e-2)
+
+
+def test_packed_pair_roundtrip(rng):
+    x = rng.normal(size=(30, 512)).astype(np.float32)
+    xp = sp.pack_bf16_pairs(jnp.asarray(x))
+    assert xp.shape == (30, 256) and xp.dtype == jnp.float32
+    u = jax.lax.bitcast_convert_type(xp.reshape(30, 2, 128), jnp.uint32)
+    lo = jax.lax.bitcast_convert_type(u << 16, jnp.float32)
+    hi = jax.lax.bitcast_convert_type(
+        u & np.uint32(0xFFFF0000), jnp.float32)
+    xb = jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32)
+    rec = jnp.concatenate(
+        [lo[:, 0], hi[:, 0], lo[:, 1], hi[:, 1]], axis=1)
+    np.testing.assert_array_equal(np.asarray(rec), np.asarray(xb))
+
+
+def test_spmm_packed_matches_dense_wide(rng):
+    """Packed-pair bf16 path at d=200 (1 group, padded) and d=300 (2
+    groups): matches the dense reference within bf16 operand tolerance."""
+    g, dense = random_graph(rng, n=90, e=600)
+    plan = sp.build_plan(
+        np.asarray(g.senders), np.asarray(g.receivers),
+        np.asarray(g.edge_weight), g.n_node, rb=16, eb=128,
+    )
+    for d in (200, 300):
+        x = rng.normal(size=(90, d)).astype(np.float32)
+        y = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True,
+                             compute_dtype=jnp.bfloat16)
+        assert y.shape == (90, d)
+        ref = dense @ np.asarray(
+            jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-2, atol=2e-2)
+
+
+def test_spmm_packed_bitexact_vs_direct_bf16(rng):
+    """The packed-pair path must be BIT-identical to the direct-bf16 kernel
+    (same RTNE cast, same f32 MXU accumulation order per block)."""
+    g, _ = random_graph(rng, n=64, e=400)
+    plan = sp.build_plan(
+        np.asarray(g.senders), np.asarray(g.receivers),
+        np.asarray(g.edge_weight), g.n_node, rb=16, eb=128,
+    )
+    x = jnp.asarray(rng.normal(size=(64, 256)).astype(np.float32))
+    y_packed = sp.spmm_via_plan(plan, x, interpret=True,
+                                compute_dtype=jnp.bfloat16)
+    xb = x.astype(jnp.bfloat16)
+    g_direct = xb[plan.senders]
+    y_direct = sp.segment_matmul(plan, g_direct, interpret=True,
+                                 compute_dtype=jnp.bfloat16)[:64]
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_direct),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_spmm_packed_grad(rng):
+    g, dense = random_graph(rng, n=48, e=260)
+    plans = sp.build_plans_from_graph(g, rb=16, eb=128)
+    x = rng.normal(size=(48, 256)).astype(np.float32)
+    ct = rng.normal(size=(48, 256)).astype(np.float32)
+
+    def f(x):
+        return jnp.vdot(
+            sp.spmm_pallas_pair(plans, x, True, jnp.bfloat16),
+            jnp.asarray(ct))
+
+    dx = jax.grad(f)(jnp.asarray(x))
+    ctb = np.asarray(jnp.asarray(ct).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(dx), dense.T @ ctb, rtol=2e-2,
+                               atol=2e-2)
