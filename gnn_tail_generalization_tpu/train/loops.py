@@ -203,34 +203,48 @@ def train_teacher(
     best_acc, best_params, best_bs = -1.0, None, None
 
     # epoch_block > 1: scan blocks of epochs inside one jit, one host pull
-    # per block (amortizes tunnel latency). Best-ckpt capture needs params
-    # at the best epoch, so keep_best forces per-epoch stepping.
-    block = 1 if keep_best else max(1, epoch_block)
+    # per block (amortizes tunnel latency). Best-ckpt capture happens
+    # INSIDE the scan: the carry holds (best_acc, best_params, best_bs) and
+    # snapshots via jnp.where per epoch, so SEMLP teacher runs (keep_best)
+    # get the same ~block-x host-sync reduction as plain teacher runs.
+    block = max(1, epoch_block)
+    acc_i = cols.index("acc_test")
 
     if block > 1:
         @jax.jit
-        def multi_step(params, batch_stats, opt_state, k_run, c):
+        def multi_step(params, batch_stats, opt_state, k_run, best, c):
             # consumes the SAME k_run split chain as the per-epoch loop, so
             # results are bitwise-identical across block sizes
             def body(carry, _):
-                p, bs, o, kr = carry
+                p, bs, o, kr, best = carry
                 kr, k = jax.random.split(kr)
                 p, bs, o, mvec = step_impl(p, bs, o, k, c)
-                return (p, bs, o, kr), mvec
+                if keep_best:  # python-static: structure fixed per trace
+                    b_acc, b_p, b_bs = best
+                    better = mvec[acc_i] > b_acc
+                    b_p = jax.tree.map(
+                        lambda b, n: jnp.where(better, n, b), b_p, p)
+                    b_bs = jax.tree.map(
+                        lambda b, n: jnp.where(better, n, b), b_bs, bs)
+                    best = (jnp.where(better, mvec[acc_i], b_acc), b_p, b_bs)
+                return (p, bs, o, kr, best), mvec
 
-            (params, batch_stats, opt_state, k_run), ms = jax.lax.scan(
-                body, (params, batch_stats, opt_state, k_run), None,
+            (params, batch_stats, opt_state, k_run, best), ms = jax.lax.scan(
+                body, (params, batch_stats, opt_state, k_run, best), None,
                 length=block,
             )
-            return params, batch_stats, opt_state, k_run, ms
+            return params, batch_stats, opt_state, k_run, best, ms
 
+    best_dev = (jnp.float32(-1.0), params, batch_stats)
     epoch = 0
     while epoch < epochs:
         if block > 1 and epochs - epoch >= block:
-            params, batch_stats, opt_state, k_run, ms = multi_step(
-                params, batch_stats, opt_state, k_run, const
+            params, batch_stats, opt_state, k_run, best_dev, ms = multi_step(
+                params, batch_stats, opt_state, k_run, best_dev, const
             )
             records[epoch:epoch + block] = np.asarray(ms)
+            if keep_best:
+                best_params, best_bs = best_dev[1], best_dev[2]
             n_done = block
         else:
             k_run, k = jax.random.split(k_run)
@@ -240,10 +254,12 @@ def train_teacher(
             records[epoch] = np.asarray(mvec)
             n_done = 1
         for e in range(epoch, epoch + n_done):
-            acc_test = float(records[e, cols.index("acc_test")])
+            acc_test = float(records[e, acc_i])
             if acc_test > best_acc:
                 best_acc = acc_test
-                if keep_best:
+                # device-side capture already handled blocked epochs; only
+                # per-epoch (tail) steps snapshot host-side
+                if keep_best and n_done == 1:
                     best_params = jax.tree.map(lambda a: a, params)
                     best_bs = batch_stats
             if log_every and e % log_every == 0:

@@ -123,6 +123,25 @@ def test_epoch_block_equivalence(small_setup):
     np.testing.assert_allclose(r1.records, r2.records, rtol=1e-4, atol=1e-3)
 
 
+def test_epoch_block_equivalence_keep_best(small_setup):
+    """SEMLP teacher runs (keep_best) must also scan: best-ckpt params are
+    captured inside the block (jnp.where snapshot) and must equal the
+    per-epoch path's best checkpoint, including when the best epoch falls
+    in the scanned prefix and in the per-epoch tail (epochs % block != 0)."""
+    import jax
+
+    cfg, pd = small_setup
+    cfg = dataclasses.replace(cfg, train_which="SEMLP")
+    r1 = loops.train_teacher(cfg, pd, seed=4, epochs=11, epoch_block=1)
+    r2 = loops.train_teacher(cfg, pd, seed=4, epochs=11, epoch_block=4)
+    np.testing.assert_allclose(r1.records, r2.records, rtol=1e-4, atol=1e-3)
+    assert r2.best_variables is not r2.variables
+    for a, b in zip(jax.tree.leaves(r1.best_variables["params"]),
+                    jax.tree.leaves(r2.best_variables["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_semlp_part2_grad_flows_only_to_part2_and_alphas(small_setup):
     """Reference semantics (MLP_model/__init__.py:107-108): part-1 output is
     detached — part-2 training must leave part-1 parameters untouched."""
