@@ -112,6 +112,70 @@ def prepare(data: NodeData, cfg: Config, *, spmm_dense_threshold: int = 8192
     )
 
 
+def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
+                    axis: str = "graph", rb: int = 128,
+                    eb: int = 512) -> PreparedData:
+    """Multi-chip variant of ``prepare``: same preprocessing chain, but the
+    graph becomes a parallel.distgraph.DistGraph (row-sharded over the
+    mesh's ``axis``) and x/y/masks are padded to n_node_pad and device_put
+    row-sharded. The returned PreparedData feeds train_teacher unchanged —
+    the model dispatches to the ring SpMM through ops.spmm.spmm.
+
+    Padded rows carry zero features, label 0, and False in every mask, so
+    they contribute to no loss, metric, or aggregation."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.distgraph import build_dist_graph, pad_rows_np
+
+    n = data.x.shape[0]
+    data = apply_special_split(data, cfg)
+    e = standard_pipeline(data.edge_index, n)
+    test_mask = (
+        data.test_mask if data.test_mask is not None else ~data.train_mask
+    )
+    splits = None
+    e_crafted = e
+    if cfg.do_deg_analyze:
+        splits = analysis.degree_splits(n, e, cfg.use_special_split)
+        if cfg.use_special_split:
+            e_crafted, _ = analysis.craft_isolation(e, splits.zero_deg_mask)
+
+    dg = build_dist_graph(e_crafted, n, mesh, axis=axis, rb=rb, eb=eb)
+    npad = dg.n_node_pad
+    sh_m = NamedSharding(mesh, P(axis, None))
+    sh_v = NamedSharding(mesh, P(axis))
+
+    def put_rows(a, sharding):
+        return jax.device_put(pad_rows_np(np.asarray(a), npad), sharding)
+
+    if splits is not None:
+        splits = dataclasses.replace(
+            splits,
+            large_deg_mask=put_rows(splits.large_deg_mask, sh_v),
+            small_deg_mask=put_rows(splits.small_deg_mask, sh_v),
+            zero_deg_mask=(
+                None if splits.zero_deg_mask is None
+                else put_rows(splits.zero_deg_mask, sh_v)
+            ),
+        )
+
+    return PreparedData(
+        x=put_rows(np.asarray(data.x, np.float32), sh_m),
+        y=put_rows(np.asarray(data.y, np.int64), sh_v),
+        edge_index=e_crafted,
+        edge_index_bkup=e,
+        train_mask=put_rows(data.train_mask, sh_v),
+        val_mask=(None if data.val_mask is None
+                  else put_rows(data.val_mask, sh_v)),
+        test_mask=put_rows(test_mask, sh_v),
+        train_idx=np.where(np.asarray(data.train_mask))[0],
+        test_idx=np.where(np.asarray(test_mask))[0],
+        splits=splits,
+        graph=dg,
+    )
+
+
 def load_dataset(cfg: Config, data_root: Optional[str] = None,
                  which_run: int = 0) -> NodeData:
     """Registry mirroring load_data/load_ogbn

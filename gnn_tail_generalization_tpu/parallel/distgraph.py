@@ -1,0 +1,322 @@
+"""DistGraph: the sharded drop-in for graph/core.Graph — the full model on a mesh.
+
+Round-1 multi-chip ran a bespoke 2-layer GCN (parallel/distributed.py);
+this module makes the REAL TricksComb teacher (norms, residual tricks, SE,
+Adam, eval suite) run across chips unchanged:
+
+- ``DistGraph`` is a pytree that duck-types the ``Graph`` surface the model
+  layer actually touches (``deg_in`` / ``deg_out`` row-sharded vectors and
+  dispatch inside ``ops.spmm.spmm``), so ``GCNConv``/``TricksComb``/
+  ``train_teacher`` need no sharding-specific code. Everything outside the
+  SpMM (dense matmuls, norms, dropout, optimizer, metrics) is row-parallel
+  or replicated and is partitioned automatically by GSPMD from the input
+  shardings; only the SpMM carries explicit collectives via ``shard_map``.
+- Edges are double-bucketed by (dst_shard, src_shard) exactly like
+  ``RingShardedGraph``; additionally every bucket gets a
+  ``SegmentMatmulPlan`` in LOCAL coordinates, padded to a common chunk
+  count, so each ring step runs the scatter-free Pallas segment-matmul
+  kernel (ops/spmm_pallas.py) on its local rows — the sharded path emits
+  NO scatter in either direction (tests/test_distgraph.py asserts this on
+  the lowered HLO).
+- The ring: at step t device k holds source shard j=(k+t)%S's feature
+  block and aggregates bucket (k, j); blocks move via ``ppermute`` over
+  ICI, overlapping transfer with the local segment-matmul (the
+  ring-attention pattern applied to neighborhood aggregation, SURVEY.md
+  section 5).
+
+Replaces (semantics): /root/reference/GNN_model/GCN.py:18-150 executed
+single-device; the reference has no multi-device story at all
+(SURVEY.md section 2.9).
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.spmm_pallas import SegmentMatmulPlan, build_plan, spmm_via_plan
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=[
+        "bkt_senders", "bkt_receivers", "bkt_weight",
+        "p_senders", "p_dst", "p_w", "p_block", "p_first",
+        "pt_senders", "pt_dst", "pt_w", "pt_block", "pt_first",
+        "deg_out", "deg_in",
+    ],
+    meta_fields=[
+        "n_node", "n_node_pad", "rows_per_shard", "n_shards", "e_bucket",
+        "rb", "eb", "n_chunks", "n_chunks_t", "mesh", "axis",
+    ],
+)
+@dataclass(frozen=True)
+class DistGraph:
+    """Row-sharded graph over a 1-D ``(axis,)`` mesh dimension.
+
+    Bucket arrays are [S, S, E_b]: bucket (k, j) holds edges with dst in
+    shard k (receivers local to k) and src in shard j (senders local to j);
+    padding entries carry weight 0. Plan arrays hold one stacked
+    SegmentMatmulPlan per bucket ([S, S, n_chunks*eb] / [S, S, n_chunks]),
+    plus the transposed set (``pt_*``) for the backward ring."""
+
+    bkt_senders: jax.Array
+    bkt_receivers: jax.Array
+    bkt_weight: jax.Array
+    p_senders: Optional[jax.Array]
+    p_dst: Optional[jax.Array]
+    p_w: Optional[jax.Array]
+    p_block: Optional[jax.Array]
+    p_first: Optional[jax.Array]
+    pt_senders: Optional[jax.Array]
+    pt_dst: Optional[jax.Array]
+    pt_w: Optional[jax.Array]
+    pt_block: Optional[jax.Array]
+    pt_first: Optional[jax.Array]
+    deg_out: jax.Array  # [n_node_pad] f32, row-sharded
+    deg_in: jax.Array
+    n_node: int = 0
+    n_node_pad: int = 0
+    rows_per_shard: int = 0
+    n_shards: int = 1
+    e_bucket: int = 0
+    rb: int = 128
+    eb: int = 512
+    n_chunks: int = 0
+    n_chunks_t: int = 0
+    mesh: Optional[Mesh] = None
+    axis: str = "graph"
+
+    @property
+    def has_plans(self) -> bool:
+        return self.p_senders is not None
+
+    def transpose(self) -> "DistGraph":
+        """A^T: bucket (k, j) of A^T = bucket (j, k) of A with roles
+        swapped; plan sets swap fwd<->transposed."""
+        sw = lambda a: None if a is None else jnp.swapaxes(a, 0, 1)
+        return dataclasses.replace(
+            self,
+            bkt_senders=sw(self.bkt_receivers),
+            bkt_receivers=sw(self.bkt_senders),
+            bkt_weight=sw(self.bkt_weight),
+            p_senders=self.pt_senders, p_dst=self.pt_dst, p_w=self.pt_w,
+            p_block=self.pt_block, p_first=self.pt_first,
+            pt_senders=self.p_senders, pt_dst=self.p_dst, pt_w=self.p_w,
+            pt_block=self.p_block, pt_first=self.p_first,
+            deg_out=self.deg_in, deg_in=self.deg_out,
+            n_chunks=self.n_chunks_t, n_chunks_t=self.n_chunks,
+        )
+
+
+def _stack_bucket_plans(buckets, rows, rb, eb):
+    """buckets: [S][S] of (senders_local, receivers_local, w) numpy triples.
+    Returns stacked plan arrays padded to a common chunk count. Padding
+    chunks target block 0 with weight 0 and first_of_block=0 (adds zero,
+    never re-zeroes)."""
+    s = len(buckets)
+    plans = []
+    n_chunks_max = 0
+    for k in range(s):
+        row = []
+        for j in range(s):
+            sl, rl, w = buckets[k][j]
+            order = np.argsort(rl, kind="stable")
+            p = build_plan(sl[order], rl[order], w[order], rows, rb=rb, eb=eb)
+            n_chunks_max = max(n_chunks_max, p.n_chunks)
+            row.append(p)
+        plans.append(row)
+
+    def field(name, per_chunk):
+        width = eb if not per_chunk else 1
+        out = np.zeros((s, s, n_chunks_max * width),
+                       np.float32 if name == "weights" else np.int32)
+        for k in range(s):
+            for j in range(s):
+                arr = np.asarray(getattr(plans[k][j], name))
+                out[k, j, : arr.shape[0]] = arr
+        return out
+
+    return (
+        field("senders", False),
+        field("dst_local", False),
+        field("weights", False),
+        field("block_of_chunk", True),
+        field("first_of_block", True),
+        n_chunks_max,
+    )
+
+
+def build_dist_graph(
+    edge_index: np.ndarray,
+    n_node: int,
+    mesh: Mesh,
+    edge_weight: Optional[np.ndarray] = None,
+    *,
+    axis: str = "graph",
+    rb: int = 128,
+    eb: int = 512,
+    with_plans: bool = True,
+    pad_multiple: int = 8,
+) -> DistGraph:
+    """Host-side build + device_put with the mesh's shardings. The dst-shard
+    leading axis of every bucket/plan array is sharded over ``axis``; degree
+    vectors are row-sharded."""
+    n_shards = mesh.shape[axis]
+    e = np.asarray(edge_index, np.int64)
+    w = (np.ones(e.shape[1], np.float32) if edge_weight is None
+         else np.asarray(edge_weight, np.float32))
+    n_node_pad = _round_up(n_node, n_shards * rb)
+    rows = n_node_pad // n_shards
+
+    deg_out = np.bincount(e[0], minlength=n_node_pad).astype(np.float32)
+    deg_in = np.bincount(e[1], minlength=n_node_pad).astype(np.float32)
+
+    dst_shard = e[1] // rows
+    src_shard = e[0] // rows
+    counts = np.zeros((n_shards, n_shards), np.int64)
+    np.add.at(counts, (dst_shard, src_shard), 1)
+    e_b = max(_round_up(int(counts.max()), pad_multiple), pad_multiple)
+
+    sl = np.zeros((n_shards, n_shards, e_b), np.int32)
+    rl = np.zeros((n_shards, n_shards, e_b), np.int32)
+    ws = np.zeros((n_shards, n_shards, e_b), np.float32)
+    buckets = [[None] * n_shards for _ in range(n_shards)]
+    bid = dst_shard * n_shards + src_shard
+    order = np.argsort(bid, kind="stable")
+    eo = e[:, order]
+    wo = w[order]
+    bounds = np.searchsorted(bid[order], np.arange(n_shards * n_shards + 1))
+    for k in range(n_shards):
+        for j in range(n_shards):
+            lo, hi = bounds[k * n_shards + j], bounds[k * n_shards + j + 1]
+            bs = (eo[0, lo:hi] - j * rows).astype(np.int64)
+            br = (eo[1, lo:hi] - k * rows).astype(np.int64)
+            bw = wo[lo:hi]
+            m = hi - lo
+            sl[k, j, :m], rl[k, j, :m], ws[k, j, :m] = bs, br, bw
+            buckets[k][j] = (bs, br, bw)
+
+    p = pt = (None,) * 5
+    n_chunks = n_chunks_t = 0
+    if with_plans:
+        *p, n_chunks = _stack_bucket_plans(buckets, rows, rb, eb)
+        bt = [[(buckets[j][k][1], buckets[j][k][0], buckets[j][k][2])
+               for j in range(n_shards)] for k in range(n_shards)]
+        *pt, n_chunks_t = _stack_bucket_plans(bt, rows, rb, eb)
+
+    sh_b = NamedSharding(mesh, P(axis, None, None))
+    sh_v = NamedSharding(mesh, P(axis))
+    put = lambda a, sh: None if a is None else jax.device_put(
+        jnp.asarray(a), sh)
+    return DistGraph(
+        bkt_senders=put(sl, sh_b),
+        bkt_receivers=put(rl, sh_b),
+        bkt_weight=put(ws, sh_b),
+        p_senders=put(p[0], sh_b), p_dst=put(p[1], sh_b),
+        p_w=put(p[2], sh_b), p_block=put(p[3], sh_b),
+        p_first=put(p[4], sh_b),
+        pt_senders=put(pt[0], sh_b), pt_dst=put(pt[1], sh_b),
+        pt_w=put(pt[2], sh_b), pt_block=put(pt[3], sh_b),
+        pt_first=put(pt[4], sh_b),
+        deg_out=put(deg_out, sh_v),
+        deg_in=put(deg_in, sh_v),
+        n_node=n_node,
+        n_node_pad=n_node_pad,
+        rows_per_shard=rows,
+        n_shards=n_shards,
+        e_bucket=e_b,
+        rb=rb,
+        eb=eb,
+        n_chunks=n_chunks,
+        n_chunks_t=n_chunks_t,
+        mesh=mesh,
+        axis=axis,
+    )
+
+
+def dist_spmm(g: DistGraph, x: jax.Array,
+              compute_dtype=jnp.float32) -> jax.Array:
+    """y = A @ x, x/y row-sharded [n_node_pad, d]. Ring-streamed: blocks
+    ppermute around the mesh axis while each device aggregates the matching
+    (dst, src) bucket — with per-bucket Pallas plans when available
+    (scatter-free), sorted segment-sum otherwise."""
+    s = g.n_shards
+    axis = g.axis
+    use_plans = g.has_plans
+    interpret = jax.default_backend() != "tpu"
+
+    if use_plans:
+        n_blocks = g.rows_per_shard // g.rb
+        specs_in = (P(axis, None),) + (P(axis, None, None),) * 5
+        operands = (g.p_senders, g.p_dst, g.p_w, g.p_block, g.p_first)
+    else:
+        specs_in = (P(axis, None),) + (P(axis, None, None),) * 3
+        operands = (g.bkt_senders, g.bkt_receivers, g.bkt_weight)
+
+    @partial(
+        shard_map, mesh=g.mesh, in_specs=specs_in,
+        out_specs=P(axis, None), check_vma=False,
+    )
+    def f(x_local, *ops):
+        ops = tuple(o[0] for o in ops)  # drop the sharded leading dim
+        k = jax.lax.axis_index(axis)
+        y = jnp.zeros((g.rows_per_shard, x_local.shape[1]), jnp.float32)
+        blk = x_local
+        for t in range(s):
+            j = (k + t) % s
+            take = lambda a: jnp.take(a, j, axis=0)
+            if use_plans:
+                plan = SegmentMatmulPlan(
+                    senders=take(ops[0]), dst_local=take(ops[1]),
+                    weights=take(ops[2]), block_of_chunk=take(ops[3]),
+                    first_of_block=take(ops[4]),
+                    n_node=g.rows_per_shard, n_blocks=n_blocks,
+                    n_chunks=g.n_chunks, rb=g.rb, eb=g.eb,
+                )
+                y = y + spmm_via_plan(plan, blk, interpret=interpret,
+                                      compute_dtype=compute_dtype)
+            else:
+                sl, rl, wb = (take(o) for o in ops)
+                contrib = blk[sl] * wb[:, None].astype(blk.dtype)
+                y = y + jax.ops.segment_sum(
+                    contrib, rl, num_segments=g.rows_per_shard)
+            if t < s - 1:
+                blk = jax.lax.ppermute(
+                    blk, axis, [(i, (i - 1) % s) for i in range(s)])
+        return y.astype(x_local.dtype)
+
+    return f(x, *operands)
+
+
+def pad_rows_np(a: np.ndarray, n_node_pad: int, fill=0):
+    pad = n_node_pad - a.shape[0]
+    if pad == 0:
+        return a
+    return np.concatenate(
+        [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+
+
+def shard_params(mesh: Mesh, params, axis: str = "graph"):
+    """Canonical parameter shardings for the teacher on a graph mesh: SE
+    tables (name 'se') row-sharded, all dense weights replicated."""
+
+    def spec(path, leaf):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if any(n == "se" or n.startswith("se") for n in names):
+            return jax.device_put(leaf, NamedSharding(mesh, P(axis, None)))
+        return jax.device_put(leaf, NamedSharding(mesh, P()))
+
+    return jax.tree_util.tree_map_with_path(spec, params)

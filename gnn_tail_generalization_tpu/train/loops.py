@@ -91,6 +91,17 @@ def train_teacher(
     epoch_block: int = 1,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
+    # Multi-chip: a DistGraph in PreparedData (data.prepare_sharded) routes
+    # aggregation through the ring shard_map SpMM; everything else below is
+    # partitioned by GSPMD from the input shardings. SE tables must span
+    # the padded row count.
+    from ..parallel.distgraph import DistGraph
+
+    dist_mesh = None
+    if isinstance(data.graph, DistGraph):
+        dist_mesh = data.graph.mesh
+        if cfg.N_nodes != data.graph.n_node_pad:
+            cfg = dataclasses.replace(cfg, N_nodes=data.graph.n_node_pad)
     # Device data is passed to the jitted step as ARGUMENTS, never closed
     # over: closure device arrays get baked into the lowered module as
     # constants (host readback at lowering time + executable bloat).
@@ -125,6 +136,24 @@ def train_teacher(
     )(const["g"], const["x"])
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
+    if dist_mesh is not None:
+        from ..parallel.distgraph import shard_params
+
+        params = shard_params(dist_mesh, params, data.graph.axis)
+        npad, nreal = data.graph.n_node_pad, data.graph.n_node
+        if npad > nreal:
+            # zero the SE padding rows: ||E||_F and its gradients then match
+            # an unpadded single-device run, and Adam keeps them at zero
+            rowmask = (jnp.arange(npad) < nreal).astype(jnp.float32)[:, None]
+
+            def _zero_pad(path, leaf):
+                names = [p.key if hasattr(p, "key") else str(p)
+                         for p in path]
+                if any(n == "se" for n in names):
+                    return leaf * rowmask
+                return leaf
+
+            params = jax.tree_util.tree_map_with_path(_zero_pad, params)
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 

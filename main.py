@@ -43,17 +43,21 @@ def parse_args():
     parser.add_argument("--epoch_block", type=int, default=1,
                         help="epochs per jitted scan block (amortizes "
                              "host-sync latency on tunneled devices)")
+    parser.add_argument("--n_devices", type=int, default=1,
+                        help="devices in the 1-D ('graph',) mesh; >1 row-"
+                             "shards the graph (DistGraph ring SpMM) and "
+                             "trains the full teacher across chips")
     ns = parser.parse_args()
     overrides = {
         k: v for k, v in vars(ns).items()
         if v is not None and k not in ("data_root", "log_every",
-                                       "epoch_block")
+                                       "epoch_block", "n_devices")
     }
     # cast int-encoded bools back
     for f in dataclasses.fields(Config):
         if f.name in overrides and isinstance(f.default, bool):
             overrides[f.name] = bool(overrides[f.name])
-    return overrides, ns.data_root, ns.log_every, ns.epoch_block
+    return overrides, ns.data_root, ns.log_every, ns.epoch_block, ns.n_devices
 
 
 def run_i2gtl(cfg, data_root, log_every):
@@ -96,7 +100,7 @@ def main():
     from gnn_tail_generalization_tpu.data.datasets import load_dataset, prepare
     from gnn_tail_generalization_tpu.train import loops
 
-    overrides, data_root, log_every, epoch_block = parse_args()
+    overrides, data_root, log_every, epoch_block, n_devices = parse_args()
     cfg = build_config(**overrides)
     if cfg.exp_mode == "I2_GTL" and cfg.task != "nodeC":
         return run_i2gtl(cfg, data_root, log_every)
@@ -129,11 +133,28 @@ def main():
         )
         from gnn_tail_generalization_tpu.config import apply_arch_configs
         cfg = apply_arch_configs(cfg)
-    pd = prepare(data, cfg)
+    if n_devices > 1:
+        # multi-chip: 1-D ('graph',) mesh, DistGraph ring SpMM — the full
+        # teacher (tricks/norms/SE/Adam/eval) runs sharded via train_teacher
+        import jax
+
+        from gnn_tail_generalization_tpu.data.datasets import prepare_sharded
+        from gnn_tail_generalization_tpu.parallel.distributed import (
+            make_graph_mesh,
+        )
+
+        assert cfg.train_which == "TeacherGNN", (
+            "--n_devices>1 currently shards the TeacherGNN trainer")
+        avail = len(jax.devices())
+        assert n_devices <= avail, f"{n_devices} devices requested, {avail} present"
+        mesh = make_graph_mesh(n_devices)
+        pd = prepare_sharded(data, cfg, mesh)
+    else:
+        pd = prepare(data, cfg)
 
     all_records = []
     if (cfg.train_which == "TeacherGNN" and cfg.N_exp > 1
-            and not cfg.has_loss_component_edgewise):
+            and not cfg.has_loss_component_edgewise and n_devices == 1):
         # vmapped population training: all seeds in one compiled step
         from gnn_tail_generalization_tpu.train.multiseed import (
             train_teacher_multiseed,

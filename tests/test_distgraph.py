@@ -1,0 +1,154 @@
+"""DistGraph: the real model on a mesh (8 virtual CPU devices).
+
+Covers VERDICT round-1 items 2 and 3: the full TricksComb teacher trains
+under the mesh with numerics matching single-device, and the sharded
+aggregation is scatter-free (per-bucket Pallas plans; HLO inspected).
+"""
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_tail_generalization_tpu.graph import core
+from gnn_tail_generalization_tpu.parallel import distgraph as dgm
+
+
+def _mesh(n=4):
+    return jax.make_mesh((n,), ("graph",), devices=jax.devices()[:n])
+
+
+def _random_graph(rng, n=96, e=500):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (dst, src), w)
+    return np.stack([src, dst]), w, dense
+
+
+def test_dist_spmm_matches_dense(rng):
+    mesh = _mesh(4)
+    e, w, dense = _random_graph(rng)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    assert dg.n_node_pad == 96
+    x = rng.normal(size=(96, 48)).astype(np.float32)
+    y = dgm.dist_spmm(dg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+    # fallback (no plans) agrees
+    dg2 = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32,
+                               with_plans=False)
+    y2 = dgm.dist_spmm(dg2, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y2), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_dist_spmm_grad_via_spmm_entry(rng):
+    """ops.spmm.spmm dispatches DistGraph; its custom VJP must route the
+    transposed ring (dx = A^T dy)."""
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    mesh = _mesh(4)
+    e, w, dense = _random_graph(rng, e=400)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    x = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+
+    y = spmm(dg, x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    dx = jax.jit(jax.grad(lambda x: jnp.vdot(spmm(dg, x), ct)))(x)
+    np.testing.assert_allclose(np.asarray(dx), dense.T @ np.asarray(ct),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dist_graph_padded_rows(rng):
+    """n not divisible by shards*rb: padded rows aggregate to zero."""
+    mesh = _mesh(4)
+    e, w, dense = _random_graph(rng, n=90, e=400)
+    dg = dgm.build_dist_graph(e, 90, mesh, edge_weight=w, rb=8, eb=32)
+    assert dg.n_node_pad == 96
+    x = rng.normal(size=(90, 16)).astype(np.float32)
+    xp = np.concatenate([x, np.zeros((6, 16), np.float32)])
+    y = dgm.dist_spmm(dg, jnp.asarray(xp))
+    np.testing.assert_allclose(np.asarray(y)[:90], dense @ x, rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(y)[90:], 0.0, atol=1e-6)
+
+
+def _teacher_setup(rng, n=96, n_feat=24, n_class=5, type_trick="Residual"):
+    from gnn_tail_generalization_tpu.config import (
+        apply_arch_configs, build_config,
+    )
+    from gnn_tail_generalization_tpu.data.datasets import NodeData
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        synthetic_features_labels,
+    )
+
+    cfg = build_config(dataset="Cora", train_which="SEMLP",
+                       whetherHasSE="100", se_reg=0.5)
+    cfg = dataclasses.replace(
+        cfg, N_nodes=n, num_feats=n_feat, num_classes=n_class, dim_hidden=16,
+        dropout=0.0, type_trick=type_trick, use_special_split=True,
+        epochs=4,
+    )
+    cfg = apply_arch_configs(cfg)
+    x, y = synthetic_features_labels(n, n_feat, n_class, 0)
+    src = rng.integers(0, n, 4 * n)
+    dst = rng.integers(0, n, 4 * n)
+    train = np.zeros(n, bool)
+    train[: n // 2] = True
+    data = NodeData(x=x, y=y, edge_index=np.stack([src, dst]),
+                    train_mask=train, val_mask=None, test_mask=~train,
+                    name="dist-test")
+    return cfg, data
+
+
+@pytest.mark.parametrize("n,trick", [(96, "Residual"), (90, "NodeNorm")])
+def test_full_teacher_sharded_matches_single_device(rng, n, trick):
+    """The REAL TricksComb teacher (tricks, norms, SE, Adam, head/tail/iso
+    eval) trained on the mesh must reproduce the single-device records —
+    including keep_best checkpointing and the n=90 padded-row case."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=n, type_trick=trick)
+    pd_single = prepare(data, cfg)
+    r1 = loops.train_teacher(cfg, pd_single, seed=3, epochs=4)
+
+    mesh = _mesh(4)
+    pd_dist = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=4)
+
+    assert r1.columns == r2.columns
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_path_emits_no_scatter(rng):
+    """The scatter-free claim, checked on the lowered HLO of a full
+    loss+grad step over the mesh (plans path)."""
+    mesh = _mesh(4)
+    e, w, _ = _random_graph(rng, e=400)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    x = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    def loss(x, dg):
+        return jnp.sum(spmm(dg, x) ** 2)
+
+    hlo = jax.jit(jax.grad(loss)).lower(x, dg).as_text()
+    assert "scatter" not in hlo
+
+
+def test_dryrun_multichip_runs_real_model():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    ge = importlib.import_module("__graft_entry__")
+    ge.dryrun_multichip(8)
