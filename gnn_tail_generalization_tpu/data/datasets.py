@@ -126,7 +126,9 @@ def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from ..parallel.distgraph import build_dist_graph, pad_rows_np
+    from ..parallel.distgraph import (
+        build_dist_graph, global_put, pad_rows_np,
+    )
 
     n = data.x.shape[0]
     data = apply_special_split(data, cfg)
@@ -147,7 +149,7 @@ def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
     sh_v = NamedSharding(mesh, P(axis))
 
     def put_rows(a, sharding):
-        return jax.device_put(pad_rows_np(np.asarray(a), npad), sharding)
+        return global_put(pad_rows_np(np.asarray(a), npad), sharding)
 
     if splits is not None:
         splits = dataclasses.replace(

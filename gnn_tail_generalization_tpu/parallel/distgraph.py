@@ -219,8 +219,7 @@ def build_dist_graph(
 
     sh_b = NamedSharding(mesh, P(axis, None, None))
     sh_v = NamedSharding(mesh, P(axis))
-    put = lambda a, sh: None if a is None else jax.device_put(
-        jnp.asarray(a), sh)
+    put = lambda a, sh: None if a is None else global_put(a, sh)
     return DistGraph(
         bkt_senders=put(sl, sh_b),
         bkt_receivers=put(rl, sh_b),
@@ -257,6 +256,9 @@ def dist_spmm(g: DistGraph, x: jax.Array,
     axis = g.axis
     use_plans = g.has_plans
     interpret = jax.default_backend() != "tpu"
+    assert x.shape[0] == g.n_node_pad, (
+        f"x has {x.shape[0]} rows; DistGraph needs n_node_pad="
+        f"{g.n_node_pad} (pad with parallel.distgraph.pad_rows_np)")
 
     if use_plans:
         n_blocks = g.rows_per_shard // g.rb
@@ -299,6 +301,16 @@ def dist_spmm(g: DistGraph, x: jax.Array,
         return y.astype(x_local.dtype)
 
     return f(x, *operands)
+
+
+def global_put(a: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Multi-process-safe device placement: every process holds the same
+    full host array (SPMD data build) and contributes only its addressable
+    shards. Identical to device_put in single-process runs; required on
+    multi-host meshes where no process can address every device."""
+    a = np.asarray(a)
+    return jax.make_array_from_callback(
+        a.shape, sharding, lambda idx: a[idx])
 
 
 def pad_rows_np(a: np.ndarray, n_node_pad: int, fill=0):
