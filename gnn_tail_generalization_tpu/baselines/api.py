@@ -46,7 +46,7 @@ def gen_baseline_embs(edge_index: np.ndarray, n_node: int, alg: str,
         from .egi import train_egi
 
         embs, _ = train_egi(g, xd, hidden_dim, epochs=epochs, seed=seed,
-                            log_every=log_every)
+                            log_every=log_every, edge_index=e)
     elif alg == "VGAE":
         from .vgae import train_vgae
 

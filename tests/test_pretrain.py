@@ -64,3 +64,29 @@ def test_struct_pretrain_loss_finite(rng):
                           pairs, cent_labels, train=True,
                           mutable=["batch_stats"])
     assert np.isfinite(float(loss))
+
+
+def test_context_graph_builder_ring():
+    """On a directed ring, the context of center c at (l1=1, l2=3) is
+    exactly {c+1, c+2, c+3}; overlap (k_sub=2) is {c+1, c+2}; context
+    edges are the chain between consecutive ring nodes."""
+    import numpy as np
+    from gnn_tail_generalization_tpu.baselines.pretrain_gin import (
+        build_context_graphs,
+    )
+
+    n = 12
+    e = np.stack([np.arange(n), (np.arange(n) + 1) % n])
+    centers = np.asarray([0, 5])
+    cg, idx, nmask, omask = build_context_graphs(
+        e, n, centers, l1=1, l2=3, k_sub=2, max_nodes=8)
+    m = 8
+    for bi, c in enumerate(centers):
+        sl = slice(bi * m, (bi + 1) * m)
+        got = set(np.asarray(idx[sl])[np.asarray(nmask[sl]) > 0])
+        assert got == {(c + 1) % n, (c + 2) % n, (c + 3) % n}
+        ov = set(np.asarray(idx[sl])[np.asarray(omask[sl]) > 0])
+        assert ov == {(c + 1) % n, (c + 2) % n}
+    # union graph has exactly the 2 chain edges per center
+    w = np.asarray(cg.edge_weight)
+    assert int((w > 0).sum()) == 4
