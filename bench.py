@@ -215,11 +215,26 @@ def main():
     _log(f"naive timed: {t_nv*1e3:.2f} ms/step")
 
     edges_per_s = n_edges * num_layers / t_fw
+    # Roofline context (VERDICT r1 item 10): the step runs 4 SpMMs (2
+    # layers x fwd+bwd); each moves ~3 passes of the packed [E_pad, 128]
+    # f32 gather stream (random read + write + kernel re-read) plus the
+    # [N, d] output. Report effective GB/s against the 819 GB/s v5e HBM
+    # peak and against the measured ~320 Mrow/s gather-emitter row floor,
+    # so vs_baseline (vs the in-repo naive scatter port) is not the only
+    # headline.
+    e_pad = 1.13 * n_edges  # measured plan pad ratio at this scale
+    spmm_bytes = 4 * (3 * e_pad * 128 * 4 + cfg.N_nodes * 256 * 4)
+    hbm_peak = 819e9
+    emitter_floor_s = 4 * e_pad / 320e6
     print(json.dumps({
         "metric": "teacher_train_spmm_edges_per_s",
         "value": round(edges_per_s),
         "unit": "edges/s",
         "vs_baseline": round(t_nv / t_fw, 3),
+        "step_ms": round(t_fw * 1e3, 2),
+        "effective_gbps": round(spmm_bytes / t_fw / 1e9, 1),
+        "pct_hbm_peak": round(spmm_bytes / t_fw / hbm_peak * 100, 1),
+        "pct_gather_emitter_floor": round(emitter_floor_s / t_fw * 100, 1),
     }))
 
 

@@ -9,9 +9,10 @@ Reference parity: ``/root/reference/Label_propagation_model/diffusion_feature.py
   normalized regularized Laplacian I + D (A + tau/N 11^T) D with the SCDM
   QR rotation — the Julia/Arpack solver is replaced by scipy's Lanczos
   (eigsh on a LinearOperator); one-time host-side preprocessing.
-- community (96-113): Louvain one-hot in the reference (broken as shipped —
-  missing imports); here an asynchronous label-propagation community
-  detector with the same one-hot output contract.
+- community (96-113): Louvain one-hot. The reference calls
+  community_louvain without importing it (broken as shipped); here a real
+  multi-level numpy Louvain (greedy modularity moving + graph
+  aggregation) with the same one-hot output contract.
 
 These run once at preprocessing time on the host (numpy/scipy); the
 per-epoch propagation loops live in propagation/correlation.py on device.
@@ -111,34 +112,96 @@ def spectral_embedding(edge_index: np.ndarray, n_node: int,
     return out.astype(np.float32)
 
 
-def community_features(edge_index: np.ndarray, n_node: int,
-                       max_iter: int = 50, seed: int = 0) -> np.ndarray:
-    """One-hot community assignment. The reference uses Louvain
-    (diffusion_feature.py:96-113, broken imports as shipped); here:
-    asynchronous label propagation (Raghavan et al.) — same output contract
-    (one-hot [N, n_communities])."""
-    e = symmetrize(edge_index, n_node)
-    order = np.argsort(e[0], kind="stable")
-    src_sorted, dst_sorted = e[0][order], e[1][order]
-    ptr = np.searchsorted(src_sorted, np.arange(n_node + 1))
-    labels = np.arange(n_node)
-    rng = np.random.default_rng(seed)
-    for _ in range(max_iter):
-        changed = 0
-        for v in rng.permutation(n_node):
-            nb = dst_sorted[ptr[v]:ptr[v + 1]]
+def _louvain_local_moving(src, dst, w, n, labels, resolution, rng,
+                          max_sweeps=20):
+    """Greedy modularity phase 1: move nodes to the neighbor community with
+    the best gain dQ ~ k_{v,c} - resolution * k_v * Sigma_tot(c) / 2m."""
+    order = np.argsort(src, kind="stable")
+    s, d, ww = src[order], dst[order], w[order]
+    ptr = np.searchsorted(s, np.arange(n + 1))
+    k = np.zeros(n)
+    np.add.at(k, src, w)  # weighted degree (symmetric edge list)
+    two_m = max(k.sum(), 1e-12)
+    comm_tot = np.bincount(labels, weights=k, minlength=n).astype(float)
+
+    moved_any = False
+    for _ in range(max_sweeps):
+        moved = 0
+        for v in rng.permutation(n):
+            lo, hi = ptr[v], ptr[v + 1]
+            nb, wv = d[lo:hi], ww[lo:hi]
+            keep = nb != v
+            nb, wv = nb[keep], wv[keep]
             if len(nb) == 0:
                 continue
-            cnt = np.bincount(labels[nb])
-            best = cnt.argmax()
-            if labels[v] != best:
-                labels[v] = best
-                changed += 1
-        if changed == 0:
+            cv = labels[v]
+            comm_tot[cv] -= k[v]
+            nbc = labels[nb]
+            cand, inv = np.unique(nbc, return_inverse=True)
+            links = np.bincount(inv, weights=wv)
+            gain = links - resolution * k[v] * comm_tot[cand] / two_m
+            # staying put has gain k_{v,cv} - res*k_v*tot(cv)/2m (v removed)
+            stay = 0.0
+            where_cv = np.where(cand == cv)[0]
+            if len(where_cv):
+                stay = gain[where_cv[0]]
+            best_i = int(np.argmax(gain))
+            if gain[best_i] > stay + 1e-12:
+                labels[v] = int(cand[best_i])
+                moved += 1
+            comm_tot[labels[v]] += k[v]
+        if moved == 0:
             break
-    uniq, remap = np.unique(labels, return_inverse=True)
-    one_hot = np.zeros((n_node, len(uniq)), np.float32)
-    one_hot[np.arange(n_node), remap] = 1.0
+        moved_any = True
+    return labels, moved_any
+
+
+def louvain_communities(edge_index: np.ndarray, n_node: int, seed: int = 0,
+                        resolution: float = 1.0, max_levels: int = 10
+                        ) -> np.ndarray:
+    """Multi-level Louvain modularity communities (numpy; replaces the
+    reference's python-louvain call, diffusion_feature.py:96-113, which is
+    broken as shipped — community_louvain is referenced without import).
+    Returns [N] compact community labels."""
+    e = symmetrize(edge_index, n_node)
+    e = e[:, e[0] != e[1]]
+    src = np.concatenate([e[0], e[1]])  # both directions for degrees
+    dst = np.concatenate([e[1], e[0]])
+    w = np.ones(len(src), float) * 0.5  # each undirected edge weight 1
+    rng = np.random.default_rng(seed)
+
+    assign = np.arange(n_node)  # original node -> current-level community
+    n = n_node
+    for _ in range(max_levels):
+        labels = np.arange(n)
+        labels, moved = _louvain_local_moving(
+            src, dst, w, n, labels, resolution, rng)
+        uniq, compact = np.unique(labels, return_inverse=True)
+        if not moved or len(uniq) == n:
+            break
+        assign = compact[assign]
+        # aggregate: communities become nodes, parallel edges summed
+        key = compact[src] * len(uniq) + compact[dst]
+        uk, inv = np.unique(key, return_inverse=True)
+        w = np.bincount(inv, weights=w)
+        src = (uk // len(uniq)).astype(np.int64)
+        dst = (uk % len(uniq)).astype(np.int64)
+        n = len(uniq)
+        if n <= 1:
+            break
+    _, out = np.unique(assign, return_inverse=True)
+    return out
+
+
+def community_features(edge_index: np.ndarray, n_node: int,
+                       seed: int = 0, resolution: float = 1.0
+                       ) -> np.ndarray:
+    """One-hot Louvain community assignment
+    (diffusion_feature.py:96-113 intent; see louvain_communities)."""
+    labels = louvain_communities(edge_index, n_node, seed=seed,
+                                 resolution=resolution)
+    one_hot = np.zeros((n_node, int(labels.max()) + 1), np.float32)
+    one_hot[np.arange(n_node), labels] = 1.0
     return one_hot
 
 

@@ -109,3 +109,31 @@ def test_cs_pipeline_end_to_end(rng):
     pd = prepare(data, cfg)
     out = cs.run_cs_pipeline(cfg, pd, epochs=30)
     assert out["acc_test"] > 70.0
+
+
+def test_louvain_recovers_planted_communities(rng):
+    """3-block SBM with strong intra-block density: Louvain must recover a
+    partition highly aligned with the planted blocks (adjusted-agreement
+    via majority mapping > 0.9)."""
+    from gnn_tail_generalization_tpu.propagation.diffusion import (
+        louvain_communities,
+    )
+
+    n_blk, blk = 3, 40
+    n = n_blk * blk
+    truth = np.repeat(np.arange(n_blk), blk)
+    src, dst = [], []
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = 0.3 if truth[i] == truth[j] else 0.01
+            if rng.random() < p:
+                src.append(i)
+                dst.append(j)
+    labels = louvain_communities(np.stack([np.asarray(src),
+                                           np.asarray(dst)]), n, seed=1)
+    # majority-map each found community to a planted block
+    agree = 0
+    for c in np.unique(labels):
+        members = truth[labels == c]
+        agree += np.bincount(members).max()
+    assert agree / n > 0.9, (agree / n, len(np.unique(labels)))
