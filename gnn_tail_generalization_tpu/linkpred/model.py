@@ -359,8 +359,12 @@ def train_linkpred(
                 n_pos)
             total_loss = 0.0
             nb = 0
-            for s0 in range(0, n_pos - bsz + 1, bsz) or [0]:
-                sel = perm[s0:s0 + bsz]
+            # every positive edge is visited each epoch: the final partial
+            # batch is wrap-filled from the permutation's start so the step
+            # keeps one static shape (the reference's DataLoader keeps
+            # drop_last=False partial batches, model.py:144)
+            for s0 in range(0, n_pos, bsz):
+                sel = perm[(s0 + np.arange(bsz)) % n_pos]
                 params, opt_state, loss = step(
                     params, opt_state, const,
                     jnp.asarray(pos_train[sel]), neg[sel],

@@ -104,7 +104,13 @@ def build_plan(
     eb: int = 1024,
 ) -> SegmentMatmulPlan:
     """Edges MUST be sorted by receiver. Pads each row block's edge list to a
-    multiple of eb."""
+    multiple of eb.
+
+    eb cannot go below 1024: the per-chunk metadata rides as 1-D blocked
+    pallas operands whose s32/f32 tile is 1024 elements (Mosaic rejects
+    smaller blocks, and (1, eb)/[n_chunks, eb] reshapes hit the 8x128
+    2-D tile rule — both measured on v5e). The ~13% edge padding at arxiv
+    scale is the price of that tile constraint."""
     s = np.asarray(senders_sorted, np.int64)
     r = np.asarray(receivers_sorted, np.int64)
     w = (np.ones(len(s), np.float32) if weights is None

@@ -31,12 +31,12 @@ def train_teacher_multiseed(
     log_every: int = 0,
 ) -> List[TrainResult]:
     epochs = epochs if epochs is not None else cfg.epochs
-    if cfg.has_loss_component_edgewise:
-        raise NotImplementedError(
-            "edgewise (I2_GTL) loss is not supported by the vmapped "
-            "multi-seed trainer; use train_teacher per seed"
-        )
     n_seeds = len(seeds)
+    ew_fn = None
+    if cfg.has_loss_component_edgewise:
+        from .edgewise import build_edgewise_plan, make_edgewise_loss_fn
+
+        ew_fn = make_edgewise_loss_fn(build_edgewise_plan(cfg, data))
     const = {
         "g": data.graph,
         "x": jnp.asarray(data.x),
@@ -80,16 +80,22 @@ def train_teacher_multiseed(
                       "graph_dropout": jax.random.fold_in(rng, 1)},
                 mutable=mutable,
             )
-            _, classi, se_reg_all, _ = out
+            common, classi, se_reg_all, _ = out
             loss = 0.0
+            linkp_train = 0.0
             if cfg.has_loss_component_nodewise:
                 loss = _nll_masked(classi, c["y"], c["train_mask"]) \
                     * cfg.TeacherGNN.lossa_semantic
             if se_reg_all is not None:
                 loss = loss + cfg.se_reg * se_reg_all
-            return loss, (nv.get("batch_stats") if mutable else bs)
+            if ew_fn is not None:
+                l_struct, linkp_train = ew_fn(
+                    common, jax.random.fold_in(rng, 2), "train")
+                loss = loss + l_struct * cfg.TeacherGNN.lossa_structure
+            return loss, (nv.get("batch_stats") if mutable else bs,
+                          linkp_train)
 
-        (loss, new_bs), grads = jax.value_and_grad(
+        (loss, (new_bs, linkp_train)), grads = jax.value_and_grad(
             lambda p: loss_fn(p, batch_stats), has_aux=True
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -108,6 +114,12 @@ def train_teacher_multiseed(
             metrics.update(headtail_accuracies(
                 classi, c["y"], c["train_mask"], c["large"], c["small"],
                 c.get("zero")))
+        if ew_fn is not None:
+            common_eval = model.apply(vs, c["g"], c["x"], train=False)[0]
+            _, linkp_test = ew_fn(
+                common_eval, jax.random.fold_in(rng, 5), "test")
+            metrics["linkp_train"] = linkp_train
+            metrics["linkp_test"] = linkp_test
         mvec = jnp.stack([jnp.asarray(metrics[c2], jnp.float32)
                           for c2 in cols])
         return params, new_bs, opt_state, mvec
@@ -115,7 +127,7 @@ def train_teacher_multiseed(
     cols = ["loss_train", "acc_train", "acc_test"] + (
         ["head", "tail"] + (["iso"] if zero is not None else [])
         if want_ht else []
-    )
+    ) + (["linkp_train", "linkp_test"] if ew_fn is not None else [])
 
     bs_axes = 0 if has_bs else None
     vstep = jax.jit(jax.vmap(

@@ -154,7 +154,7 @@ def main():
 
     all_records = []
     if (cfg.train_which == "TeacherGNN" and cfg.N_exp > 1
-            and not cfg.has_loss_component_edgewise and n_devices == 1):
+            and n_devices == 1):
         # vmapped population training: all seeds in one compiled step
         from gnn_tail_generalization_tpu.train.multiseed import (
             train_teacher_multiseed,

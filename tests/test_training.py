@@ -185,3 +185,20 @@ def test_cs_pipeline_with_spectral(small_setup):
     )
     out = cs.run_cs_pipeline(cfg, pd, epochs=10)
     assert np.isfinite(out["acc_test"])
+
+
+def test_multiseed_with_edgewise_loss(small_setup):
+    """The vmapped population trainer now carries the edgewise (I2_GTL)
+    auxiliary loss; records gain linkp_train/linkp_test columns."""
+    from gnn_tail_generalization_tpu.train.multiseed import (
+        train_teacher_multiseed,
+    )
+
+    cfg, pd = small_setup
+    cfg = dataclasses.replace(cfg, has_loss_component_edgewise=True,
+                              samp_size_p=32)
+    results = train_teacher_multiseed(cfg, pd, seeds=[0, 1], epochs=4)
+    assert results[0].columns[-2:] == ["linkp_train", "linkp_test"]
+    for r in results:
+        assert np.isfinite(r.records).all()
+    assert not np.allclose(results[0].records, results[1].records)
