@@ -152,3 +152,38 @@ def test_dryrun_multichip_runs_real_model():
     sys.path.insert(0, "/root/repo")
     ge = importlib.import_module("__graft_entry__")
     ge.dryrun_multichip(8)
+
+
+def test_sharded_training_checkpoints_roundtrip(rng, tmp_path):
+    """Sharded teacher params (SE row-sharded over the mesh) must save and
+    reload through the msgpack checkpointer."""
+    from gnn_tail_generalization_tpu.data.datasets import prepare_sharded
+    from gnn_tail_generalization_tpu.train import loops
+    from gnn_tail_generalization_tpu.train.checkpoint import (
+        load_train_state, save_train_state,
+    )
+
+    cfg, data = _teacher_setup(rng, n=96)
+    mesh = _mesh(4)
+    pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    res = loops.train_teacher(cfg, pd, seed=0, epochs=2)
+
+    path = str(tmp_path / "teacher.msgpack")
+    save_train_state(path, params=res.variables["params"], epoch=2)
+    loaded = load_train_state(path, {"params": res.variables["params"],
+                                     "epoch": 0})
+    for a, b in zip(jax.tree.leaves(res.variables["params"]),
+                    jax.tree.leaves(loaded["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_graph_dropout_rejected_on_dist_graph(rng):
+    from gnn_tail_generalization_tpu.data.datasets import prepare_sharded
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=96)
+    cfg = dataclasses.replace(cfg, apply_graph_dropout=True)
+    mesh = _mesh(4)
+    pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    with pytest.raises(NotImplementedError, match="DistGraph"):
+        loops.train_teacher(cfg, pd, seed=0, epochs=1)
