@@ -187,3 +187,16 @@ def test_graph_dropout_rejected_on_dist_graph(rng):
     pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
     with pytest.raises(NotImplementedError, match="DistGraph"):
         loops.train_teacher(cfg, pd, seed=0, epochs=1)
+
+
+def test_dist_spmm_bf16_packed_ring(rng):
+    """compute_dtype=bfloat16 routes each ring step through the packed-pair
+    kernel (d > 128 -> packing); tolerance vs dense at bf16 operands."""
+    mesh = _mesh(4)
+    e, w, dense = _random_graph(rng, e=400)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    x = rng.normal(size=(96, 256)).astype(np.float32)
+    y = dgm.dist_spmm(dg, jnp.asarray(x), compute_dtype=jnp.bfloat16)
+    xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(y), dense @ xb, rtol=3e-2,
+                               atol=3e-2)
