@@ -66,3 +66,31 @@ def save_curve(curve: np.ndarray, title: str, npy_dir: str) -> str:
 
 def load_curve(title: str, npy_dir: str) -> np.ndarray:
     return np.load(os.path.join(npy_dir, f"{title}.npy"))
+
+
+def plot_curve(curve: np.ndarray, title: str, fig_dir: str,
+               smooth_window: int = 0) -> str:
+    """wzRec figure persistence (utils.py:1005-1069 plot_many/wzRec): one
+    PNG per curve, optional moving-average smoothing like the reference's
+    ``smoothen`` option. Headless (Agg backend)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    c = np.asarray(curve, dtype=float)
+    os.makedirs(fig_dir, exist_ok=True)
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.plot(c, lw=1.0, label=title)
+    if smooth_window > 1 and len(c) >= smooth_window:
+        kernel = np.ones(smooth_window) / smooth_window
+        sm = np.convolve(c, kernel, mode="valid")
+        ax.plot(np.arange(smooth_window - 1, len(c)), sm, lw=2.0,
+                label=f"{title} (ma{smooth_window})")
+    ax.set_xlabel("epoch")
+    ax.set_title(title)
+    ax.legend(fontsize=8)
+    path = os.path.join(fig_dir, f"{title}.png")
+    fig.savefig(path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return path

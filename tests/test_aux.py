@@ -60,3 +60,14 @@ def test_spmm_edges_per_sec_positive(rng):
     x = jnp.asarray(rng.normal(size=(64, 8)).astype(np.float32))
     eps = debug.spmm_edges_per_sec(g, x, iters=2)
     assert eps > 0
+
+
+def test_plot_curve_writes_png(tmp_path):
+    from gnn_tail_generalization_tpu.utils.records import plot_curve
+
+    curve = np.sin(np.linspace(0, 6, 200)) + np.random.default_rng(0).normal(
+        0, 0.1, 200)
+    p = plot_curve(curve, "loss_train", str(tmp_path), smooth_window=10)
+    import os
+
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
