@@ -313,18 +313,20 @@ def segment_matmul_packed(plan: SegmentMatmulPlan, gps, interpret=False):
                                memory_space=pltpu.VMEM),
     )
     kernel = partial(_segment_matmul_packed_kernel, rb=rb, n_groups=n_groups)
+    # measured on v5e at arxiv scale (2750 chunks): attaching a
+    # CostEstimate costs ~0.3 ms and a raised VMEM cap helps the input
+    # pipeline slightly — so: no cost estimate, 100MB limit
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((plan.n_blocks * rb, d_out),
                                        jnp.float32),
         interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=2 * plan.n_chunks * eb * rb * d_out,
-            bytes_accessed=plan.n_chunks * eb * n_groups * 128 * 4
-            + plan.n_blocks * rb * d_out * 4,
-            transcendentals=0,
-        ),
+        **kwargs,
     )(plan.block_of_chunk, plan.first_of_block, plan.dst_local,
       plan.weights, *gps)
 
@@ -355,9 +357,12 @@ def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
         d_pad = _round_up(d, 256)
         if d_pad != d:
             x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
-        xp = pack_bf16_pairs(x)  # [N, d_pad//2] f32
+        # pack PER GROUP so each gather operand is its own [N, 128] array:
+        # slicing one wide packed array re-fuses into a full-width gather
+        # (the emitter then fetches >512B rows — the cliff)
         gps = tuple(
-            xp[:, k: k + 128][plan.senders] for k in range(0, d_pad // 2, 128)
+            pack_bf16_pairs(x[:, k: k + 256])[plan.senders]
+            for k in range(0, d_pad, 256)
         )
         y = segment_matmul_packed(plan, gps, interpret=interpret)
         return y[: plan.n_node, :d]

@@ -59,16 +59,34 @@ class CSLinear(nn.Module):
         return jax.nn.log_softmax(nn.Dense(self.out)(x), axis=-1)
 
 
-def pre_step(cfg: Config, data: PreparedData) -> np.ndarray:
-    """PreStep.forward (LP_Adj.py:168-178)."""
+def pre_step(cfg: Config, data: PreparedData,
+             cache_dir: str | None = None) -> np.ndarray:
+    """PreStep.forward (LP_Adj.py:168-178). ``cache_dir`` mirrors the
+    reference's per-method embedding cache (diffusion_feature.py:132-140:
+    ``LP/embeddings/<method><dataset>.pt``) as npy files keyed by method,
+    propagation count, and graph shape."""
+    import os
+
     embs = []
     methods = cfg.preStep.pre_methods.split("+")
     for m in methods:
-        embs.append(diff.preprocess(
+        path = None
+        if cache_dir is not None:
+            os.makedirs(cache_dir, exist_ok=True)
+            key = (f"{m}_{cfg.dataset}_{cfg.preStep.num_propagations}"
+                   f"_{data.n_node}_{data.edge_index.shape[1]}")
+            path = os.path.join(cache_dir, f"{key}.npy")
+            if os.path.exists(path):
+                embs.append(np.load(path))
+                continue
+        emb = diff.preprocess(
             m, data.x, data.edge_index, data.n_node,
             labels=data.y, train_idx=data.train_idx,
             num_propagations=cfg.preStep.num_propagations,
-        ))
+        )
+        if path is not None:
+            np.save(path, emb)
+        embs.append(emb)
     return np.concatenate(embs, axis=-1)
 
 

@@ -137,3 +137,31 @@ def test_louvain_recovers_planted_communities(rng):
         members = truth[labels == c]
         agree += np.bincount(members).max()
     assert agree / n > 0.9, (agree / n, len(np.unique(labels)))
+
+
+def test_pre_step_embedding_cache(tmp_path, rng):
+    """Second pre_step call with a cache_dir loads identical embeddings
+    from disk (the reference's LP/embeddings/*.pt cache contract)."""
+    import dataclasses
+
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import NodeData, prepare
+    from gnn_tail_generalization_tpu.propagation import cs
+
+    n = 80
+    cfg = build_config(dataset="Cora", train_which="LP")
+    cfg = dataclasses.replace(cfg, N_nodes=n, num_feats=12, num_classes=3,
+                              use_special_split=False)
+    e = np.stack([rng.integers(0, n, 300), rng.integers(0, n, 300)])
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    y = rng.integers(0, 3, n)
+    train = rng.random(n) < 0.5
+    data = NodeData(x=x, y=y, edge_index=e, train_mask=train, val_mask=None,
+                    test_mask=~train, name="cache-test")
+    pd = prepare(data, cfg)
+
+    a = cs.pre_step(cfg, pd, cache_dir=str(tmp_path))
+    files = list(tmp_path.iterdir())
+    assert files, "cache not written"
+    b = cs.pre_step(cfg, pd, cache_dir=str(tmp_path))
+    np.testing.assert_array_equal(a, b)
