@@ -113,7 +113,7 @@ def prepare(data: NodeData, cfg: Config, *, spmm_dense_threshold: int = 8192
 
 
 def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
-                    axis: str = "graph", rb: int = 128,
+                    axis: str = "graph", model_axis=None, rb: int = 128,
                     eb: int = 512) -> PreparedData:
     """Multi-chip variant of ``prepare``: same preprocessing chain, but the
     graph becomes a parallel.distgraph.DistGraph (row-sharded over the
@@ -143,9 +143,10 @@ def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
         if cfg.use_special_split:
             e_crafted, _ = analysis.craft_isolation(e, splits.zero_deg_mask)
 
-    dg = build_dist_graph(e_crafted, n, mesh, axis=axis, rb=rb, eb=eb)
+    dg = build_dist_graph(e_crafted, n, mesh, axis=axis,
+                          model_axis=model_axis, rb=rb, eb=eb)
     npad = dg.n_node_pad
-    sh_m = NamedSharding(mesh, P(axis, None))
+    sh_m = NamedSharding(mesh, P(axis, model_axis))
     sh_v = NamedSharding(mesh, P(axis))
 
     def put_rows(a, sharding):

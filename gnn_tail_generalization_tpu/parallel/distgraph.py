@@ -59,7 +59,7 @@ def _round_up(x: int, m: int) -> int:
     ],
     meta_fields=[
         "n_node", "n_node_pad", "rows_per_shard", "n_shards", "e_bucket",
-        "rb", "eb", "n_chunks", "n_chunks_t", "mesh", "axis",
+        "rb", "eb", "n_chunks", "n_chunks_t", "mesh", "axis", "model_axis",
     ],
 )
 @dataclass(frozen=True)
@@ -98,6 +98,9 @@ class DistGraph:
     n_chunks_t: int = 0
     mesh: Optional[Mesh] = None
     axis: str = "graph"
+    #: optional second mesh axis: activations/SE shard their FEATURE dim
+    #: over it (tensor parallel); plans/buckets stay replicated across it
+    model_axis: Optional[str] = None
 
     @property
     def has_plans(self) -> bool:
@@ -166,6 +169,7 @@ def build_dist_graph(
     edge_weight: Optional[np.ndarray] = None,
     *,
     axis: str = "graph",
+    model_axis: Optional[str] = None,
     rb: int = 128,
     eb: int = 512,
     with_plans: bool = True,
@@ -243,6 +247,7 @@ def build_dist_graph(
         n_chunks_t=n_chunks_t,
         mesh=mesh,
         axis=axis,
+        model_axis=model_axis,
     )
 
 
@@ -260,17 +265,26 @@ def dist_spmm(g: DistGraph, x: jax.Array,
         f"x has {x.shape[0]} rows; DistGraph needs n_node_pad="
         f"{g.n_node_pad} (pad with parallel.distgraph.pad_rows_np)")
 
+    # on a 2-D (graph x model) mesh, the feature dim rides sharded over
+    # the model axis: each device ring-streams only its feature slice (the
+    # segment-matmul is feature-wise, so no cross-feature collective).
+    # Feature dims that don't divide the axis (e.g. the classes-wide last
+    # layer) fall back to replicated-over-model.
+    m_axis = g.model_axis
+    if m_axis is not None and x.shape[1] % g.mesh.shape[m_axis] != 0:
+        m_axis = None
+    xspec = P(axis, m_axis)
     if use_plans:
         n_blocks = g.rows_per_shard // g.rb
-        specs_in = (P(axis, None),) + (P(axis, None, None),) * 5
+        specs_in = (xspec,) + (P(axis, None, None),) * 5
         operands = (g.p_senders, g.p_dst, g.p_w, g.p_block, g.p_first)
     else:
-        specs_in = (P(axis, None),) + (P(axis, None, None),) * 3
+        specs_in = (xspec,) + (P(axis, None, None),) * 3
         operands = (g.bkt_senders, g.bkt_receivers, g.bkt_weight)
 
     @partial(
         shard_map, mesh=g.mesh, in_specs=specs_in,
-        out_specs=P(axis, None), check_vma=False,
+        out_specs=xspec, check_vma=False,
     )
     def f(x_local, *ops):
         ops = tuple(o[0] for o in ops)  # drop the sharded leading dim
@@ -321,14 +335,28 @@ def pad_rows_np(a: np.ndarray, n_node_pad: int, fill=0):
         [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
 
 
-def shard_params(mesh: Mesh, params, axis: str = "graph"):
+def shard_params(mesh: Mesh, params, axis: str = "graph",
+                 model_axis: Optional[str] = None):
     """Canonical parameter shardings for the teacher on a graph mesh: SE
-    tables (name 'se') row-sharded, all dense weights replicated."""
+    tables (name 'se') row-sharded (and feature-sharded over model_axis on
+    a 2-D mesh); dense kernels column-parallel over model_axis; everything
+    else replicated."""
+
+    m_size = mesh.shape[model_axis] if model_axis is not None else 1
 
     def spec(path, leaf):
         names = [p.key if hasattr(p, "key") else str(p) for p in path]
-        if any(n == "se" or n.startswith("se") for n in names):
-            return jax.device_put(leaf, NamedSharding(mesh, P(axis, None)))
+        # feature dims that don't divide the model axis (e.g. num_classes)
+        # stay replicated on that axis
+        feat_ok = (model_axis is not None and leaf.ndim == 2
+                   and leaf.shape[1] % m_size == 0)
+        if any(n == "se" for n in names):
+            return jax.device_put(
+                leaf, NamedSharding(
+                    mesh, P(axis, model_axis if feat_ok else None)))
+        if feat_ok and "kernel" in names:
+            return jax.device_put(
+                leaf, NamedSharding(mesh, P(None, model_axis)))
         return jax.device_put(leaf, NamedSharding(mesh, P()))
 
     return jax.tree_util.tree_map_with_path(spec, params)

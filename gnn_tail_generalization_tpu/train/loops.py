@@ -139,7 +139,8 @@ def train_teacher(
     if dist_mesh is not None:
         from ..parallel.distgraph import shard_params
 
-        params = shard_params(dist_mesh, params, data.graph.axis)
+        params = shard_params(dist_mesh, params, data.graph.axis,
+                              data.graph.model_axis)
         npad, nreal = data.graph.n_node_pad, data.graph.n_node
         if npad > nreal:
             # zero the SE padding rows: ||E||_F and its gradients then match

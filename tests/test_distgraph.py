@@ -200,3 +200,41 @@ def test_dist_spmm_bf16_packed_ring(rng):
     xb = np.asarray(jnp.asarray(x).astype(jnp.bfloat16).astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(y), dense @ xb, rtol=3e-2,
                                atol=3e-2)
+
+
+def test_full_teacher_2d_mesh_matches_single_device(rng):
+    """2-D (graph x model) mesh: activations/SE feature-sharded over the
+    model axis, kernels column-parallel — the real teacher still matches
+    single-device records."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=96)
+    pd_single = prepare(data, cfg)
+    r1 = loops.train_teacher(cfg, pd_single, seed=3, epochs=3)
+
+    mesh = jax.make_mesh((4, 2), ("graph", "model"),
+                         devices=jax.devices()[:8])
+    pd_dist = prepare_sharded(data, cfg, mesh, model_axis="model",
+                              rb=8, eb=32)
+    r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=3)
+
+    assert r1.columns == r2.columns
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+
+
+def test_dist_spmm_2d_mesh(rng):
+    mesh = jax.make_mesh((4, 2), ("graph", "model"),
+                         devices=jax.devices()[:8])
+    e, w, dense = _random_graph(rng)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w,
+                              model_axis="model", rb=8, eb=32)
+    x = rng.normal(size=(96, 48)).astype(np.float32)
+    xg = dgm.global_put(
+        x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("graph", "model")))
+    y = dgm.dist_spmm(dg, xg)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
