@@ -32,7 +32,8 @@ def gen_baseline_embs(edge_index: np.ndarray, n_node: int, alg: str,
                       epochs: int = 50, seed: int = 0, log_every: int = 0):
     """Train the chosen self-supervised model, return frozen [N, D] embs."""
     e = standard_pipeline(edge_index, n_node)
-    g = build_graph(e, n_node, with_dense=n_node <= 4096)
+    g = build_graph(e, n_node, with_dense=n_node <= 4096,
+                    with_plans=n_node > 4096)
     if x is None:
         x = degree_bucketing(e, n_node)
     xd = jnp.asarray(np.asarray(x, np.float32))

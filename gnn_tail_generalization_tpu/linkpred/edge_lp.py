@@ -75,7 +75,8 @@ def _dad_edge_graph(edge_adj: np.ndarray, m: int) -> Graph:
     dis = np.where(deg > 0, deg**-0.5, 0.0)
     w = (dis[edge_adj[0]] * dis[edge_adj[1]]).astype(np.float32)
     flipped = np.stack([edge_adj[1], edge_adj[0]])
-    return build_graph(flipped, m, edge_weight=w, with_dense=False)
+    return build_graph(flipped, m, edge_weight=w, with_dense=False,
+                       with_plans=m > 8192)
 
 
 def yag_propagate(adj: Graph, y0: jax.Array, guidance: jax.Array,

@@ -258,7 +258,10 @@ def train_linkpred(
     elif msg_edges is None:
         msg_edges = symmetrize(np.asarray(split_edge["train"]["edge"]).T,
                                n_node)
-    g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096)
+    # large graphs get Pallas plans so every encoder aggregation runs the
+    # scatter-free (packed-pair on bf16) kernel instead of segment_sum
+    g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
+                    with_plans=n_node > 4096)
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
             remove_self_loops
@@ -266,7 +269,8 @@ def train_linkpred(
         e2 = add_self_loops(remove_self_loops(msg_edges), n_node)
         w = gcn_norm_weights(e2, n_node)
         g = build_graph(e2, n_node, edge_weight=w,
-                        with_dense=n_node <= 4096)
+                        with_dense=n_node <= 4096,
+                        with_plans=n_node > 4096)
 
     num_feats = 0 if x is None else x.shape[1]
     model = LinkPredModel(cfg, n_node, num_feats)

@@ -37,7 +37,8 @@ def _adj_graph(edge_index: np.ndarray, n_node: int, w: np.ndarray,
     # receivers = e[0], senders = e[1] (see convention note above)
     flipped = np.stack([edge_index[1], edge_index[0]])
     return build_graph(flipped, n_node, edge_weight=w,
-                       dense_threshold=dense_threshold)
+                       dense_threshold=dense_threshold,
+                       with_plans=n_node > dense_threshold)
 
 
 def gen_normalized_adjs(edge_index: np.ndarray, n_node: int,
