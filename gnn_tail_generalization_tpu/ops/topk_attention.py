@@ -25,6 +25,7 @@ def latent_neighbor_replace(
     top_k: int,
     precision=jax.lax.Precision.HIGHEST,
     row_chunk: int = 8192,
+    score_dtype=None,
 ) -> jax.Array:
     """Virtual-neighborhood embedding per batch row (MLP_model/__init__.py:143-156).
 
@@ -33,11 +34,21 @@ def latent_neighbor_replace(
     The [B, N] score matrix is never fully materialized: rows are processed
     in ``row_chunk`` blocks under lax.map, so arxiv-scale batches
     (90k x 169k scores = 61 GB dense) stay within a ~169k x 8k working set.
-    """
+
+    ``score_dtype=jnp.bfloat16`` runs the [B,N] scoring matmul (the 90+%
+    FLOP term: ~17 TFLOP at arxiv scale) with bf16 operands and f32 MXU
+    accumulation — ~4x the MXU rate; selection/softmax/weighted-sum stay
+    f32. Ranking by f32-accumulated scores is robust to the operand cast;
+    defaults to the reference-faithful full-precision path."""
     b = le_guess.shape[0]
 
     def block(rows):
-        scores = jnp.matmul(rows, teacher_se.T, precision=precision)
+        if score_dtype is not None:
+            scores = jnp.matmul(rows.astype(score_dtype),
+                                teacher_se.T.astype(score_dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            scores = jnp.matmul(rows, teacher_se.T, precision=precision)
         top_scores, top_idx = jax.lax.top_k(scores, top_k)
         attn = jax.nn.softmax(top_scores, axis=-1)
         neigh = teacher_se[top_idx]

@@ -167,3 +167,26 @@ def test_latent_neighbor_replace_chunked_matches(rng):
     chunked = latent_neighbor_replace(guess, se, k, row_chunk=16)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_latent_neighbor_replace_bf16_scores(rng):
+    """bf16-scored selection agrees with the f32 path on well-separated
+    scores (f32 accumulation keeps ranking stable)."""
+    import jax.numpy as jnp
+    from gnn_tail_generalization_tpu.ops.topk_attention import (
+        latent_neighbor_replace,
+    )
+
+    # well-separated scores: each guess row is a scaled copy of 3 distinct
+    # SE rows, so the top-3 ranking has wide margins (near-ties are
+    # legitimately allowed to resolve differently under operand rounding)
+    se = rng.normal(size=(200, 24)).astype(np.float32)
+    guess = np.stack([
+        2.0 * se[i] + 1.0 * se[i + 50] + 0.5 * se[i + 100]
+        for i in range(16)
+    ]).astype(np.float32)
+    a = latent_neighbor_replace(jnp.asarray(guess), jnp.asarray(se), 3)
+    b = latent_neighbor_replace(jnp.asarray(guess), jnp.asarray(se), 3,
+                                score_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-2,
+                               atol=5e-2)
