@@ -24,18 +24,19 @@ from ..graph.core import Graph
 from ..ops.spmm import spmm
 
 
-def _mean_agg(g: Graph, x):
-    s = spmm(g, x)
+def _mean_agg(g: Graph, x, method: str = "auto"):
+    s = spmm(g, x, method)
     deg = jnp.clip(g.deg_in, 1.0, None)
     return s / deg[:, None].astype(s.dtype)
 
 
 class SAGEConv(nn.Module):
     out_channels: int
+    spmm_method: str = "auto"
 
     @nn.compact
     def __call__(self, g: Graph, x):
-        agg = _mean_agg(g, x)
+        agg = _mean_agg(g, x, self.spmm_method)
         return (nn.Dense(self.out_channels)(x)
                 + nn.Dense(self.out_channels, use_bias=False)(agg))
 
@@ -45,11 +46,12 @@ class GCNConvRaw(nn.Module):
     adjacency weights baked into the graph."""
 
     out_channels: int
+    spmm_method: str = "auto"
 
     @nn.compact
     def __call__(self, g: Graph, x):
         h = nn.Dense(self.out_channels, use_bias=False)(x)
-        y = spmm(g, h)
+        y = spmm(g, h, self.spmm_method)
         b = self.param("bias", nn.initializers.zeros, (self.out_channels,))
         return y + b
 
@@ -58,10 +60,11 @@ class WSAGEConv(nn.Module):
     """PyG GraphConv: root Dense + sum-aggregated Dense."""
 
     out_channels: int
+    spmm_method: str = "auto"
 
     @nn.compact
     def __call__(self, g: Graph, x):
-        agg = spmm(g, x)
+        agg = spmm(g, x, self.spmm_method)
         return (nn.Dense(self.out_channels)(x)
                 + nn.Dense(self.out_channels, use_bias=False)(agg))
 
@@ -71,6 +74,7 @@ class TransformerConv(nn.Module):
     alpha_e = softmax_{e into dst}(q[dst] . k[src] / sqrt(d))."""
 
     out_channels: int
+    spmm_method: str = "auto"  # accepted for factory uniformity (unused)
 
     @nn.compact
     def __call__(self, g: Graph, x):
@@ -122,6 +126,7 @@ class GNNEncoder(nn.Module):
     out_channels: int
     num_layers: int
     dropout: float = 0.0
+    spmm_method: str = "auto"  # 'pallas_bf16' = bf16-operand aggregation
 
     @nn.compact
     def __call__(self, g, x, *, train: bool = False):
@@ -131,7 +136,7 @@ class GNNEncoder(nn.Module):
             if self.kind == "MLP":
                 x = nn.Dense(out)(x)
             else:
-                x = _CONVS[self.kind](out)(g, x)
+                x = _CONVS[self.kind](out, spmm_method=self.spmm_method)(g, x)
             if i < self.num_layers - 1:
                 x = nn.relu(x)
                 x = nn.Dropout(self.dropout, deterministic=not train)(x)

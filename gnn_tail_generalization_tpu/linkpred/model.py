@@ -55,6 +55,10 @@ class LinkPredConfig:
     train_node_emb: bool = True
     eval_metric: str = "recall_my@1.25"
     edge_lp_mode: str = ""  # '' | 'logit' | 'emb' | 'xmc' (model.py:208-239)
+    #: 'pallas_bf16' aggregates with bf16 operands / f32 accumulation — the
+    #: packed-pair kernel's fast regime at ogbl scale; default matches the
+    #: reference's f32
+    spmm_method: str = "auto"
     elp_alpha: float = 0.995
     elp_num_propagations: int = 5
 
@@ -80,6 +84,7 @@ class LinkPredModel(nn.Module):
             out_channels=c.gnn_hidden_channels,
             num_layers=c.gnn_num_layers,
             dropout=c.dropout,
+            spmm_method=c.spmm_method,
         )
         self.predictor = create_predictor(
             c.predictor, c.mlp_hidden_channels, c.mlp_num_layers, c.dropout

@@ -1,5 +1,13 @@
 """Multi-chip graph sharding and the distributed SpMM / train step.
 
+NOTE (round 2): the PRODUCT multi-chip path is ``parallel/distgraph.py``
+(DistGraph) — the full TricksComb teacher on the mesh with scatter-free
+per-bucket Pallas ring aggregation, reachable via
+``data.prepare_sharded`` / ``main.py --n_devices``. This module keeps the
+round-1 building blocks (all_gather SpMM, segment-sum ring, bespoke
+2-layer train step) as tested primitives and for the dryrun's legacy
+sections.
+
 The reference is strictly single-device (SURVEY.md section 2.9: one GPU,
 unused DDP import utils.py:22). This module is the TPU-native scale-out
 story it lacks:

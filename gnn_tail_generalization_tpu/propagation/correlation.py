@@ -36,9 +36,13 @@ def _adj_graph(edge_index: np.ndarray, n_node: int, w: np.ndarray,
                dense_threshold: int) -> Graph:
     # receivers = e[0], senders = e[1] (see convention note above)
     flipped = np.stack([edge_index[1], edge_index[0]])
+    # no Pallas plans here: C&S propagates f32 label probabilities at
+    # d=num_classes, where the sorted-gather path and the plan kernel
+    # measure EQUAL on v5e (1.79s vs 1.86s per 50-step arxiv-scale
+    # propagation) — the kernel's decisive edge is bf16 operands, which
+    # label-probability numerics don't allow
     return build_graph(flipped, n_node, edge_weight=w,
-                       dense_threshold=dense_threshold,
-                       with_plans=n_node > dense_threshold)
+                       dense_threshold=dense_threshold)
 
 
 def gen_normalized_adjs(edge_index: np.ndarray, n_node: int,

@@ -146,3 +146,21 @@ def test_heuristic_encoder_short_circuit(rng):
         out = lpm.train_linkpred(cfg, None, e, n, epochs=1, runs=1)
         assert "Hits@20" in out["last_results"], enc
         assert out["params"] is None  # no training happened
+
+
+def test_linkpred_bf16_aggregation_trains(rng):
+    """spmm_method='pallas_bf16' threads through the encoder stack; small
+    run stays finite and produces sane stats."""
+    import dataclasses
+
+    from gnn_tail_generalization_tpu.linkpred import model as lpm
+
+    n = 120
+    e = np.stack([rng.integers(0, n, 700), rng.integers(0, n, 700)])
+    x = rng.normal(size=(n, 16)).astype(np.float32)
+    cfg = lpm.LinkPredConfig(encoder="SAGE", use_node_feats=True,
+                             train_node_emb=False, batch_size=256,
+                             spmm_method="pallas_bf16")
+    out = lpm.train_linkpred(cfg, x, e, n, epochs=3, runs=1, eval_steps=3)
+    s = out["stats"]
+    assert np.isfinite(s["test_mean"])
