@@ -114,7 +114,7 @@ def prepare(data: NodeData, cfg: Config, *, spmm_dense_threshold: int = 8192
 
 def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
                     axis: str = "graph", model_axis=None, rb: int = 128,
-                    eb: int = 512) -> PreparedData:
+                    eb: int = 1024) -> PreparedData:
     """Multi-chip variant of ``prepare``: same preprocessing chain, but the
     graph becomes a parallel.distgraph.DistGraph (row-sharded over the
     mesh's ``axis``) and x/y/masks are padded to n_node_pad and device_put

@@ -171,7 +171,7 @@ def build_dist_graph(
     axis: str = "graph",
     model_axis: Optional[str] = None,
     rb: int = 128,
-    eb: int = 512,
+    eb: int = 1024,
     with_plans: bool = True,
     pad_multiple: int = 8,
 ) -> DistGraph:
@@ -259,8 +259,11 @@ def dist_spmm(g: DistGraph, x: jax.Array,
     (scatter-free), sorted segment-sum otherwise."""
     s = g.n_shards
     axis = g.axis
-    use_plans = g.has_plans
     interpret = jax.default_backend() != "tpu"
+    # Mosaic's rank-1 operand tiling needs eb % 1024 == 0 on real TPUs
+    # (interpret mode has no such constraint); plans built with a smaller
+    # eb (tests, tiny dryruns) fall back to the segment-sum ring there
+    use_plans = g.has_plans and (interpret or g.eb % 1024 == 0)
     assert x.shape[0] == g.n_node_pad, (
         f"x has {x.shape[0]} rows; DistGraph needs n_node_pad="
         f"{g.n_node_pad} (pad with parallel.distgraph.pad_rows_np)")
