@@ -222,7 +222,9 @@ def main():
     # peak and against the measured ~320 Mrow/s gather-emitter row floor,
     # so vs_baseline (vs the in-repo naive scatter port) is not the only
     # headline.
-    e_pad = 1.13 * n_edges  # measured plan pad ratio at this scale
+    plans = getattr(pd.graph, "plans", None)
+    e_pad = (plans[0].n_chunks * plans[0].eb if plans
+             else 1.13 * n_edges)  # actual plan padding when available
     spmm_bytes = 4 * (3 * e_pad * 128 * 4 + cfg.N_nodes * 256 * 4)
     hbm_peak = 819e9
     emitter_floor_s = 4 * e_pad / 320e6

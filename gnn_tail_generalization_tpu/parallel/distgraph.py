@@ -53,6 +53,7 @@ def _round_up(x: int, m: int) -> int:
     jax.tree_util.register_dataclass,
     data_fields=[
         "bkt_senders", "bkt_receivers", "bkt_weight",
+        "bkt_senders_t", "bkt_receivers_t", "bkt_weight_t",
         "p_senders", "p_dst", "p_w", "p_block", "p_first",
         "pt_senders", "pt_dst", "pt_w", "pt_block", "pt_first",
         "deg_out", "deg_in",
@@ -75,6 +76,12 @@ class DistGraph:
     bkt_senders: jax.Array
     bkt_receivers: jax.Array
     bkt_weight: jax.Array
+    #: pre-transposed bucket arrays (bucket (k,j) of A^T = bucket (j,k) of
+    #: A, roles swapped), built host-side so the backward of the
+    #: segment-sum fallback never re-shards [S,S,E_b] across devices
+    bkt_senders_t: jax.Array
+    bkt_receivers_t: jax.Array
+    bkt_weight_t: jax.Array
     p_senders: Optional[jax.Array]
     p_dst: Optional[jax.Array]
     p_w: Optional[jax.Array]
@@ -107,14 +114,16 @@ class DistGraph:
         return self.p_senders is not None
 
     def transpose(self) -> "DistGraph":
-        """A^T: bucket (k, j) of A^T = bucket (j, k) of A with roles
-        swapped; plan sets swap fwd<->transposed."""
-        sw = lambda a: None if a is None else jnp.swapaxes(a, 0, 1)
+        """A^T: swap to the pre-built transposed bucket/plan sets (no
+        device data movement)."""
         return dataclasses.replace(
             self,
-            bkt_senders=sw(self.bkt_receivers),
-            bkt_receivers=sw(self.bkt_senders),
-            bkt_weight=sw(self.bkt_weight),
+            bkt_senders=self.bkt_senders_t,
+            bkt_receivers=self.bkt_receivers_t,
+            bkt_weight=self.bkt_weight_t,
+            bkt_senders_t=self.bkt_senders,
+            bkt_receivers_t=self.bkt_receivers,
+            bkt_weight_t=self.bkt_weight,
             p_senders=self.pt_senders, p_dst=self.pt_dst, p_w=self.pt_w,
             p_block=self.pt_block, p_first=self.pt_first,
             pt_senders=self.p_senders, pt_dst=self.p_dst, pt_w=self.p_w,
@@ -142,10 +151,22 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
             row.append(p)
         plans.append(row)
 
+    n_blocks = rows // rb
+
     def field(name, per_chunk):
         width = eb if not per_chunk else 1
-        out = np.zeros((s, s, n_chunks_max * width),
-                       np.float32 if name == "weights" else np.int32)
+        # padding chunks MUST keep the output-block walk consecutive:
+        # Pallas does not reload an output window on a non-consecutive
+        # revisit, so a pad chunk pointing at block 0 after the real
+        # chunks would flush stale buffer contents over block 0's rows on
+        # real TPUs (interpret mode hides this). Pad with the LAST block
+        # (where every bucket plan ends) and weight 0 -> adds nothing.
+        if name == "block_of_chunk":
+            out = np.full((s, s, n_chunks_max * width), n_blocks - 1,
+                          np.int32)
+        else:
+            out = np.zeros((s, s, n_chunks_max * width),
+                           np.float32 if name == "weights" else np.int32)
         for k in range(s):
             for j in range(s):
                 arr = np.asarray(getattr(plans[k][j], name))
@@ -224,10 +245,17 @@ def build_dist_graph(
     sh_b = NamedSharding(mesh, P(axis, None, None))
     sh_v = NamedSharding(mesh, P(axis))
     put = lambda a, sh: None if a is None else global_put(a, sh)
+    # pre-transposed buckets: bucket (k,j) of A^T = (j,k) of A, swapped
+    sl_t = np.swapaxes(rl, 0, 1).copy()
+    rl_t = np.swapaxes(sl, 0, 1).copy()
+    ws_t = np.swapaxes(ws, 0, 1).copy()
     return DistGraph(
         bkt_senders=put(sl, sh_b),
         bkt_receivers=put(rl, sh_b),
         bkt_weight=put(ws, sh_b),
+        bkt_senders_t=put(sl_t, sh_b),
+        bkt_receivers_t=put(rl_t, sh_b),
+        bkt_weight_t=put(ws_t, sh_b),
         p_senders=put(p[0], sh_b), p_dst=put(p[1], sh_b),
         p_w=put(p[2], sh_b), p_block=put(p[3], sh_b),
         p_first=put(p[4], sh_b),

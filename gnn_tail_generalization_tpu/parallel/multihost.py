@@ -58,11 +58,14 @@ def initialize_multihost(
     except ImportError:  # pragma: no cover - private-API drift fallback
         pass
     if coordinator_address is None and num_processes is None:
-        import os
-
-        if "JAX_COORDINATOR_ADDRESS" not in os.environ and \
-                "COORDINATOR_ADDRESS" not in os.environ:
-            return  # single-process run
+        # No explicit args: delegate to JAX's cluster auto-detection (TPU
+        # pod metadata, MEGASCALE_COORDINATOR_ADDRESS, SLURM, ...). On a
+        # plain single-process machine detection fails -> stay local.
+        try:
+            jax.distributed.initialize()
+        except Exception:
+            pass
+        return
     kwargs = {}
     if coordinator_address is not None:
         kwargs["coordinator_address"] = coordinator_address

@@ -140,11 +140,14 @@ def _louvain_local_moving(src, dst, w, n, labels, resolution, rng,
             cand, inv = np.unique(nbc, return_inverse=True)
             links = np.bincount(inv, weights=wv)
             gain = links - resolution * k[v] * comm_tot[cand] / two_m
-            # staying put has gain k_{v,cv} - res*k_v*tot(cv)/2m (v removed)
-            stay = 0.0
+            # staying put has gain k_{v,cv} - res*k_v*tot(cv)/2m (v
+            # removed); with no edges into cv the link term is zero but
+            # the degree penalty still applies
             where_cv = np.where(cand == cv)[0]
             if len(where_cv):
                 stay = gain[where_cv[0]]
+            else:
+                stay = -resolution * k[v] * comm_tot[cv] / two_m
             best_i = int(np.argmax(gain))
             if gain[best_i] > stay + 1e-12:
                 labels[v] = int(cand[best_i])

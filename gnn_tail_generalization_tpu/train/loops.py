@@ -123,6 +123,11 @@ def train_teacher(
     model = TeacherGNN(cfg)
     ew_fn = None
     if cfg.has_loss_component_edgewise:
+        if dist_mesh is not None:
+            raise NotImplementedError(
+                "the edgewise (I2_GTL) auxiliary loss builds its plan from "
+                "host arrays and is not supported with a sharded DistGraph "
+                "yet — run it single-device")
         from .edgewise import build_edgewise_plan, make_edgewise_loss_fn
 
         ew_fn = make_edgewise_loss_fn(build_edgewise_plan(cfg, data))
@@ -201,7 +206,8 @@ def train_teacher(
         vs = {"params": params}
         if new_bs is not None:
             vs["batch_stats"] = new_bs
-        _, classi, _, _ = model.apply(vs, c["g"], c["x"], train=False)
+        common_eval, classi, _, _ = model.apply(vs, c["g"], c["x"],
+                                                train=False)
         y, train_mask = c["y"], c["train_mask"]
         metrics = {
             "loss_train": loss,
@@ -214,7 +220,6 @@ def train_teacher(
                                     c["small"], c.get("zero"))
             )
         if ew_fn is not None:
-            common_eval = model.apply(vs, c["g"], c["x"], train=False)[0]
             _, linkp_test = ew_fn(
                 common_eval, jax.random.fold_in(rng, 5), "test"
             )

@@ -104,7 +104,8 @@ def train_teacher_multiseed(
         vs = {"params": params}
         if new_bs is not None:
             vs["batch_stats"] = new_bs
-        _, classi, _, _ = model.apply(vs, c["g"], c["x"], train=False)
+        common_eval, classi, _, _ = model.apply(vs, c["g"], c["x"],
+                                                train=False)
         metrics = {
             "loss_train": loss,
             "acc_train": masked_accuracy(classi, c["y"], c["train_mask"]) * 100,
@@ -115,7 +116,6 @@ def train_teacher_multiseed(
                 classi, c["y"], c["train_mask"], c["large"], c["small"],
                 c.get("zero")))
         if ew_fn is not None:
-            common_eval = model.apply(vs, c["g"], c["x"], train=False)[0]
             _, linkp_test = ew_fn(
                 common_eval, jax.random.fold_in(rng, 5), "test")
             metrics["linkp_train"] = linkp_train

@@ -238,3 +238,22 @@ def test_dist_spmm_2d_mesh(rng):
     y = dgm.dist_spmm(dg, xg)
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_stacked_plan_padding_stays_on_last_block(rng):
+    """Padding chunks must keep the Pallas output-block walk consecutive:
+    they target the LAST block (with weight 0), never block 0 — a
+    non-consecutive revisit would flush stale buffer contents over block
+    0's rows on real TPUs (interpret mode hides it)."""
+    mesh = _mesh(4)
+    e, w, _ = _random_graph(rng, e=500)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    n_blocks = dg.rows_per_shard // dg.rb
+    for arr, nc in ((dg.p_block, dg.n_chunks), (dg.pt_block, dg.n_chunks_t)):
+        blocks = np.asarray(arr)  # [S, S, n_chunks]
+        for k in range(dg.n_shards):
+            for j in range(dg.n_shards):
+                b = blocks[k, j]
+                # non-decreasing walk ending at the last block
+                assert (np.diff(b) >= 0).all(), (k, j, b)
+                assert b[-1] == n_blocks - 1 or nc == 1
