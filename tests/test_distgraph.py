@@ -257,3 +257,64 @@ def test_stacked_plan_padding_stays_on_last_block(rng):
                 # non-decreasing walk ending at the last block
                 assert (np.diff(b) >= 0).all(), (k, j, b)
                 assert b[-1] == n_blocks - 1 or nc == 1
+
+
+def test_bucket_plans_pass_tpu_faithful_interpreter(rng):
+    """Run a padded bucket plan through the TPU-faithful Pallas interpreter
+    (which enforces real revisit semantics, unlike interpret=True): the
+    last-block padding must be accepted, and the old block-0 padding must
+    be REJECTED — this is the regression net for the hardware-corruption
+    bug fixed in round 2."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gnn_tail_generalization_tpu.ops import spmm_pallas as sp
+
+    mesh = _mesh(4)
+    e, w, _ = _random_graph(rng, e=500)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32)
+    n_blocks = dg.rows_per_shard // dg.rb
+    # pick a bucket whose plan has padding chunks
+    blocks = np.asarray(dg.p_block).reshape(dg.n_shards, dg.n_shards, -1)
+    k = j = None
+    for kk in range(dg.n_shards):
+        for jj in range(dg.n_shards):
+            firsts = np.asarray(dg.p_first).reshape(
+                dg.n_shards, dg.n_shards, -1)[kk, jj]
+            if firsts.sum() < n_blocks or True:
+                k, j = kk, jj
+                break
+        break
+
+    def bucket_plan(block_row):
+        sl = np.asarray(dg.p_senders).reshape(
+            dg.n_shards, dg.n_shards, -1)[k, j]
+        dl = np.asarray(dg.p_dst).reshape(dg.n_shards, dg.n_shards, -1)[k, j]
+        wl = np.asarray(dg.p_w).reshape(dg.n_shards, dg.n_shards, -1)[k, j]
+        fl = np.asarray(dg.p_first).reshape(
+            dg.n_shards, dg.n_shards, -1)[k, j]
+        return sp.SegmentMatmulPlan(
+            senders=jnp.asarray(sl), dst_local=jnp.asarray(dl),
+            weights=jnp.asarray(wl), block_of_chunk=jnp.asarray(block_row),
+            first_of_block=jnp.asarray(fl), n_node=dg.rows_per_shard,
+            n_blocks=n_blocks, n_chunks=dg.n_chunks, rb=dg.rb, eb=dg.eb,
+        )
+
+    x = jnp.asarray(rng.normal(size=(dg.rows_per_shard, 16)).astype(
+        np.float32))
+    good = bucket_plan(blocks[k, j])
+    y = sp.spmm_via_plan(good, x, interpret=pltpu.InterpretParams())
+    assert np.isfinite(np.asarray(y)).all()
+
+    # corrupt: point every padding chunk (first==0 AND weightless tail)
+    # back at block 0 like the old code did
+    bad_blocks = blocks[k, j].copy()
+    firsts = np.asarray(dg.p_first).reshape(
+        dg.n_shards, dg.n_shards, -1)[k, j]
+    wsum = np.asarray(dg.p_w).reshape(
+        dg.n_shards, dg.n_shards, -1)[k, j].reshape(dg.n_chunks, -1).sum(1)
+    pad_chunks = (firsts == 0) & (wsum == 0)
+    if pad_chunks.any() and bad_blocks[pad_chunks].min() > 0:
+        bad_blocks[pad_chunks] = 0
+        bad = bucket_plan(bad_blocks)
+        with pytest.raises(Exception):
+            sp.spmm_via_plan(bad, x, interpret=pltpu.InterpretParams())
