@@ -114,3 +114,85 @@ def test_adam_update_matches_torch(rng):
     opt.step()
     np.testing.assert_allclose(jax_w1, tw.detach().numpy(), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_training_dynamics_match_torch(rng):
+    """Several full Adam steps in BOTH frameworks from a transplanted
+    init: per-step losses and final parameters must track. Catches
+    optimizer-chain, gradient, and masking discrepancies that single-step
+    or forward-only parity misses."""
+    import dataclasses
+
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import NodeData, prepare
+    from gnn_tail_generalization_tpu.train import loops
+
+    n, f, h, c = 40, 12, 8, 4
+    src = rng.integers(0, n, 160)
+    dst = rng.integers(0, n, 160)
+    x = rng.normal(size=(n, f)).astype(np.float32)
+    y = rng.integers(0, c, n)
+    train = np.zeros(n, bool)
+    train[: n // 2] = True
+
+    cfg = build_config(dataset="Cora", train_which="TeacherGNN",
+                       whetherHasSE="100", se_reg=0.5)
+    cfg = dataclasses.replace(
+        cfg, N_nodes=n, num_feats=f, num_classes=c, dim_hidden=h,
+        dropout=0.0, type_trick="NoResNoNorm", lr=0.01, weight_decay=5e-4,
+        use_special_split=False, do_deg_analyze=False, want_headtail=False,
+        has_loss_component_nodewise=True,
+    )
+    data = NodeData(x=x, y=y, edge_index=np.stack([src, dst]),
+                    train_mask=train, val_mask=None, test_mask=~train,
+                    name="dyn-parity")
+    pd = prepare(data, cfg)
+    steps = 6
+    res = loops.train_teacher(cfg, pd, seed=0, epochs=steps)
+    jax_losses = res.records[:, 0]
+    p = res.variables["params"]["backbone"]
+
+    # --- independent torch replica, same init, same objective ----------
+    import jax
+
+    init = loops.train_teacher(cfg, pd, seed=0, epochs=0)  # params at init
+    pi = init.variables["params"]["backbone"]
+    ei = pd.edge_index
+    tm = TorchGCN(
+        {"w": [pi["conv_0"]["kernel"], pi["conv_1"]["kernel"]],
+         "b": [pi["conv_0"]["bias"], pi["conv_1"]["bias"]],
+         "se": [pi["conv_0"]["se"], None]},
+        n, ei,
+    )
+    for w in tm.w + tm.b:
+        w.requires_grad_(True)
+    tm.se[0].requires_grad_(True)
+    tparams = tm.w + tm.b + [tm.se[0]]
+    opt = torch.optim.Adam(tparams, lr=0.01, weight_decay=5e-4)
+    tx = torch.tensor(x)
+    ty = torch.tensor(y).long()
+    tmask = torch.tensor(train)
+
+    torch_losses = []
+    for _ in range(steps):
+        opt.zero_grad()
+        h1 = torch.relu(tm.layer(tx, 0, relu=False))
+        logits = tm.layer(h1, 1, relu=False)
+        lsm = torch.log_softmax(logits, dim=1)
+        nll = -(lsm[tmask, ty[tmask]]).mean()
+        loss = nll + 0.5 * torch.norm(tm.se[0])
+        loss.backward()
+        opt.step()
+        torch_losses.append(float(loss))
+
+    np.testing.assert_allclose(jax_losses, torch_losses, rtol=2e-3,
+                               atol=2e-3)
+    final = {"w0": p["conv_0"]["kernel"], "se": p["conv_0"]["se"],
+             "w1": p["conv_1"]["kernel"]}
+    for name, ours, theirs in (
+        ("w0", final["w0"], tm.w[0]), ("w1", final["w1"], tm.w[1]),
+        ("se", final["se"], tm.se[0]),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(ours), theirs.detach().numpy(), rtol=5e-3, atol=5e-3,
+            err_msg=name)
