@@ -106,7 +106,8 @@ def _teacher_setup(rng, n=96, n_feat=24, n_class=5, type_trick="Residual"):
     return cfg, data
 
 
-@pytest.mark.parametrize("n,trick", [(96, "Residual"), (90, "NodeNorm")])
+@pytest.mark.parametrize("n,trick", [(96, "Residual"), (90, "NodeNorm"),
+                                     (96, "BatchNorm")])
 def test_full_teacher_sharded_matches_single_device(rng, n, trick):
     """The REAL TricksComb teacher (tricks, norms, SE, Adam, head/tail/iso
     eval) trained on the mesh must reproduce the single-device records —
