@@ -40,9 +40,26 @@ def mrr(pos_pred, neg_pred) -> float:
     return float(jnp.mean(1.0 / rank))
 
 
+def _group_negs(pos, neg):
+    """[n_neg]-flat negatives -> [n_pos, k] per-positive groups. Splits
+    evenly when divisible (OGB layout); otherwise truncates to k =
+    n_neg // n_pos groups, or — when there are fewer negatives than
+    positives — ranks every positive against the SHARED pool (global-
+    negatives MRR)."""
+    import jax.numpy as jnp
+
+    n_pos = pos.shape[0]
+    n_neg = neg.reshape(-1).shape[0]
+    flat = neg.reshape(-1)
+    k = n_neg // max(n_pos, 1)
+    if k >= 1:
+        return flat[: n_pos * k].reshape(n_pos, k)
+    return jnp.broadcast_to(flat[None, :], (n_pos, n_neg))
+
+
 def evaluate_mrr(pos_val, neg_val, pos_test, neg_test):
-    return {"MRR": (mrr(pos_val, neg_val.reshape(pos_val.shape[0], -1)),
-                    mrr(pos_test, neg_test.reshape(pos_test.shape[0], -1)))}
+    return {"MRR": (mrr(pos_val, _group_negs(pos_val, neg_val)),
+                    mrr(pos_test, _group_negs(pos_test, neg_test)))}
 
 
 def cal_recall(pos_pred, neg_pred, topk=None) -> float:

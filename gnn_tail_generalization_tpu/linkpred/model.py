@@ -152,25 +152,14 @@ def simple_split_edges(edge_index: np.ndarray, n_node: int,
     keys = sampling.edge_keys(e, n_node)
 
     def sample_negs(count):
-        out = np.empty((count, 2), np.int64)
-        filled = 0
-        while filled < count:
-            cand = rng.integers(0, n_node, (2, count * 2))
-            with np.errstate(over="ignore"):
-                ck = sampling._hash32(cand[0].astype(np.int32),
-                                      cand[1].astype(np.int32))
-            ok = ~np.isin(ck, keys) & (cand[0] != cand[1])
-            take = min(count - filled, ok.sum())
-            out[filled:filled + take] = cand[:, ok][:, :take].T
-            filled += take
-        return out
+        return sampling.rejection_sample_non_edges(rng, keys, n_node, count)
 
     split_edge = {
         "train": {"edge": train.T},
         "valid": {"edge": val.T,
-                  "edge_neg": sample_negs(max(n_val, 1))},
+                  "edge_neg": sample_negs(max(n_val, 1) * num_neg_eval)},
         "test": {"edge": test.T,
-                 "edge_neg": sample_negs(max(n_test, 1))},
+                 "edge_neg": sample_negs(max(n_test, 1) * num_neg_eval)},
     }
     # message-passing graph = train positives symmetrized
     msg_edges = symmetrize(np.concatenate([train, train[::-1]], axis=1),
@@ -235,7 +224,7 @@ def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
             params, c, pos_edge, neg_edge, rng
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     return step
@@ -265,8 +254,6 @@ def train_linkpred(
                                n_node)
     # large graphs get Pallas plans so every encoder aggregation runs the
     # scatter-free (packed-pair on bf16) kernel instead of segment_sum
-    g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
-                    with_plans=n_node > 4096)
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
             remove_self_loops
@@ -275,6 +262,9 @@ def train_linkpred(
         w = gcn_norm_weights(e2, n_node)
         g = build_graph(e2, n_node, edge_weight=w,
                         with_dense=n_node <= 4096,
+                        with_plans=n_node > 4096)
+    else:
+        g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
                         with_plans=n_node > 4096)
 
     num_feats = 0 if x is None else x.shape[1]
@@ -440,8 +430,13 @@ def evaluate(cfg, model, params, const, split_edge, predict_all):
                                        cfg.elp_num_propagations)
             else:
                 n = const["g"].n_node
-                e_msg = np.stack([np.asarray(const["g"].senders),
-                                  np.asarray(const["g"].receivers)])
+                # slice off the static-shape PADDING edges (last-node
+                # self-loops with weight 0): run_xmc_lp rebuilds a D^-1 A
+                # from the raw edge list, where padding would become real
+                # weighted self-loops at the last node
+                ne = const["g"].n_edge
+                e_msg = np.stack([np.asarray(const["g"].senders)[:ne],
+                                  np.asarray(const["g"].receivers)[:ne]])
                 out = elp.run_xmc_lp(e_msg, n, all_edges, logits,
                                      sizes[0], n_pos_total,
                                      cfg.elp_alpha,

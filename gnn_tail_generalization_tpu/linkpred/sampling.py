@@ -45,6 +45,25 @@ def edge_keys(edge_index: np.ndarray, n_node: int) -> np.ndarray:
     return np.unique(np.concatenate([keys, lkeys]))
 
 
+def rejection_sample_non_edges(rng, keys_sorted: np.ndarray, n_node: int,
+                               count: int) -> np.ndarray:
+    """Host-side uniform non-edge sampler shared by simple_split_edges and
+    the surgery edge splitter: redraw until ``count`` candidate pairs pass
+    the hashed-edge-set membership and self-loop filters. Returns
+    [count, 2] int64."""
+    out = np.empty((count, 2), np.int64)
+    filled = 0
+    while filled < count:
+        cand = rng.integers(0, n_node, (2, max(count * 2, 16)))
+        with np.errstate(over="ignore"):
+            ck = _hash32(cand[0].astype(np.int32), cand[1].astype(np.int32))
+        ok = ~np.isin(ck, keys_sorted) & (cand[0] != cand[1])
+        take = min(count - filled, int(ok.sum()))
+        out[filled:filled + take] = cand[:, ok][:, :take].T
+        filled += take
+    return out
+
+
 def _is_member(keys_sorted: jax.Array, src: jax.Array,
                dst: jax.Array) -> jax.Array:
     cand = _hash32(src.astype(jnp.int32), dst.astype(jnp.int32))

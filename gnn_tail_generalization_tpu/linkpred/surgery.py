@@ -243,16 +243,7 @@ def init_split_edge_unified(data: GraphData, seed: int = 0,
 
     n = data.n_node
     keys = S.edge_keys(e, n)
-    neg = np.empty((2, m), np.int64)
-    filled = 0
-    while filled < m:
-        cand = rng.integers(0, n, (2, m))
-        with np.errstate(over="ignore"):
-            ck = S._hash32(cand[0].astype(np.int32), cand[1].astype(np.int32))
-        ok = ~np.isin(ck, keys) & (cand[0] != cand[1])
-        take = min(m - filled, int(ok.sum()))
-        neg[:, filled:filled + take] = cand[:, ok][:, :take]
-        filled += take
+    neg = S.rejection_sample_non_edges(rng, keys, n, m).T
     rn = rng.random(m)
     if data.is_unique_in_targetG_edge_mask is not None:
         ncond0 = np.zeros(m, bool)  # edge mask not applicable to non-edges

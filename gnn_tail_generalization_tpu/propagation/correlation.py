@@ -46,10 +46,12 @@ def _adj_graph(edge_index: np.ndarray, n_node: int, w: np.ndarray,
 
 
 def gen_normalized_adjs(edge_index: np.ndarray, n_node: int,
-                        dense_threshold: int = 8192):
+                        dense_threshold: int = 8192, which=None):
     """(DAD, DA, AD) Graphs (outcome_correlation.py:39-55). ``edge_index``
     is symmetrized first (process_adj's to_undirected); degrees are row sums
-    with 0^-0.5 -> 0."""
+    with 0^-0.5 -> 0. ``which`` (a set of names) skips building/uploading
+    the unused normalizations — each Graph is a full padded device upload,
+    so callers that need one variant should not pay for three."""
     e = symmetrize(edge_index, n_node)
     deg = np.bincount(e[0], minlength=n_node).astype(np.float64)
     dis = np.where(deg > 0, deg**-0.5, 0.0)
@@ -57,7 +59,11 @@ def gen_normalized_adjs(edge_index: np.ndarray, n_node: int,
     da = (dis[e[0]] * dis[e[0]]).astype(np.float32)
     ad = (dis[e[1]] * dis[e[1]]).astype(np.float32)
     mk = partial(_adj_graph, e, n_node, dense_threshold=dense_threshold)
-    return mk(w=dad), mk(w=da), mk(w=ad)
+    ws = {"DAD": dad, "DA": da, "AD": ad}
+    return tuple(
+        mk(w=ws[name]) if which is None or name in which else None
+        for name in ("DAD", "DA", "AD")
+    )
 
 
 def general_outcome_correlation(

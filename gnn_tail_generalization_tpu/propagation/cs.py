@@ -92,33 +92,43 @@ def pre_step(cfg: Config, data: PreparedData,
 
 def lp_step(cfg: Config, data: PreparedData, model_out: jax.Array,
             label_idx, residual_idx) -> jax.Array:
-    """LPStep.forward (LP_Adj.py:146-160)."""
-    dad, da, ad = corr.gen_normalized_adjs(data.edge_index, data.n_node)
-    by_name = {"DAD": dad, "DA": da, "AD": ad}
+    """LPStep.forward (LP_Adj.py:146-160).
+
+    Every propagation runs under jit with the adjacency Graph(s) passed as
+    ARGUMENTS: eager fori_loops would close over the device edge arrays
+    and hoist them as lowered-module constants (a host readback through
+    the tunneled TPU — see CLAUDE.md). Only the needed graphs are built."""
     lp = cfg.lpStep
     nc = cfg.num_classes
+    need = {lp.A} if (lp.no_prep or lp.fn == "only_outcome_correlation") \
+        else {lp.A1, lp.A2}
+    adjs = corr.gen_normalized_adjs(data.edge_index, data.n_node,
+                                    which=need)
+    by_name = {k: v for k, v in zip(("DAD", "DA", "AD"), adjs)
+               if v is not None}
     if lp.no_prep:
-        return corr.label_propagation(
-            jnp.asarray(data.y), jnp.asarray(data.train_idx),
-            by_name[lp.A], lp.alpha, lp.num_propagations, nc,
-        )
+        f = jax.jit(corr.label_propagation, static_argnums=(3, 4, 5, 6))
+        return f(jnp.asarray(data.y), jnp.asarray(data.train_idx),
+                 by_name[lp.A], lp.alpha, lp.num_propagations, nc, "auto")
     if lp.fn == "double_correlation_autoscale":
-        _, out = corr.double_correlation_autoscale(
-            jnp.asarray(data.y), model_out, label_idx, residual_idx,
-            by_name[lp.A1], lp.alpha1, lp.num_propagations1,
-            by_name[lp.A2], lp.alpha2, lp.num_propagations2, nc,
-        )
+        f = jax.jit(corr.double_correlation_autoscale,
+                    static_argnums=(5, 6, 8, 9, 10, 11))
+        _, out = f(jnp.asarray(data.y), model_out, label_idx, residual_idx,
+                   by_name[lp.A1], lp.alpha1, lp.num_propagations1,
+                   by_name[lp.A2], lp.alpha2, lp.num_propagations2, nc,
+                   "auto")
     elif lp.fn == "double_correlation_fixed":
-        _, out = corr.double_correlation_fixed(
-            jnp.asarray(data.y), model_out, label_idx, residual_idx,
-            by_name[lp.A1], lp.alpha1, lp.num_propagations1,
-            by_name[lp.A2], lp.alpha2, lp.num_propagations2, nc,
-        )
+        f = jax.jit(corr.double_correlation_fixed,
+                    static_argnums=(5, 6, 8, 9, 10, 11, 12))
+        _, out = f(jnp.asarray(data.y), model_out, label_idx, residual_idx,
+                   by_name[lp.A1], lp.alpha1, lp.num_propagations1,
+                   by_name[lp.A2], lp.alpha2, lp.num_propagations2, nc,
+                   1.0, "auto")
     else:
-        _, out = corr.only_outcome_correlation(
-            jnp.asarray(data.y), model_out, label_idx,
-            by_name[lp.A], lp.alpha, lp.num_propagations, nc,
-        )
+        f = jax.jit(corr.only_outcome_correlation,
+                    static_argnums=(4, 5, 6, 7))
+        _, out = f(jnp.asarray(data.y), model_out, label_idx,
+                   by_name[lp.A], lp.alpha, lp.num_propagations, nc, "auto")
     return out
 
 
@@ -171,7 +181,7 @@ def run_cs_pipeline(cfg: Config, data: PreparedData, seed: int = 0,
             params, bs, rng, x
         )
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         vs = {"params": params}
         if new_bs is not None:
             vs["batch_stats"] = new_bs

@@ -125,18 +125,28 @@ def linkp_loss_eva(pos_score, neg_score):
     return loss, mrr
 
 
-def make_edgewise_loss_fn(plan: EdgewisePlan):
-    """Returns f(h, rng, mode) -> (loss, mrr), fully jittable. ``h``: full
-    node embeddings (commonEmb — trainer:418 uses the unmasked embedding)."""
-    train_edges = jnp.asarray(plan.train_edges)
-    test_edges = jnp.asarray(plan.test_edges)
-    keys_sorted = jnp.asarray(plan.keys_sorted)
-    train_mask = jnp.asarray(plan.train_mask)
-    train_idx = jnp.asarray(np.where(plan.train_mask)[0])
-    test_idx = jnp.asarray(np.where(~plan.train_mask)[0])
+def edgewise_consts(plan: EdgewisePlan):
+    """Device arrays of the plan, to ride in the train step's const dict —
+    never as closures (closure device arrays become lowered-module
+    constants: host readback through the tunnel + executable bloat)."""
+    return {
+        "train_edges": jnp.asarray(plan.train_edges),
+        "test_edges": jnp.asarray(plan.test_edges),
+        "keys_sorted": jnp.asarray(plan.keys_sorted),
+        "train_mask": jnp.asarray(plan.train_mask),
+        "train_idx": jnp.asarray(np.where(plan.train_mask)[0]),
+        "test_idx": jnp.asarray(np.where(~plan.train_mask)[0]),
+    }
 
-    def f(h, rng, mode: str):
-        edges = train_edges if mode == "train" else test_edges
+
+def make_edgewise_loss_fn(plan: EdgewisePlan):
+    """Returns f(h, rng, mode, ew) -> (loss, mrr), fully jittable; ``ew``
+    is the edgewise_consts(plan) dict passed through the step arguments.
+    ``h``: full node embeddings (commonEmb — trainer:418 uses the unmasked
+    embedding). Only static plan SIZES are closed over."""
+
+    def f(h, rng, mode: str, ew):
+        edges = ew["train_edges"] if mode == "train" else ew["test_edges"]
         n_neg = (plan.samp_size_n_train if mode == "train"
                  else plan.samp_size_n_test)
         k1, k2 = jax.random.split(rng)
@@ -145,8 +155,8 @@ def make_edgewise_loss_fn(plan: EdgewisePlan):
         )
         pos_src, pos_dst = edges[0][pick], edges[1][pick]
         neg_src, neg_dst = _sample_split_negatives(
-            k2, keys_sorted, train_mask, train_idx, test_idx,
-            plan.n_node, n_neg, mode
+            k2, ew["keys_sorted"], ew["train_mask"], ew["train_idx"],
+            ew["test_idx"], plan.n_node, n_neg, mode
         )
         pos = edge_dot(h[pos_src], h[pos_dst])
         neg = edge_dot(h[neg_src], h[neg_dst])

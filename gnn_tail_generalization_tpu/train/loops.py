@@ -26,6 +26,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import Config
 from ..data.datasets import PreparedData
@@ -128,9 +129,13 @@ def train_teacher(
                 "the edgewise (I2_GTL) auxiliary loss builds its plan from "
                 "host arrays and is not supported with a sharded DistGraph "
                 "yet — run it single-device")
-        from .edgewise import build_edgewise_plan, make_edgewise_loss_fn
+        from .edgewise import (
+            build_edgewise_plan, edgewise_consts, make_edgewise_loss_fn,
+        )
 
-        ew_fn = make_edgewise_loss_fn(build_edgewise_plan(cfg, data))
+        _ew_plan = build_edgewise_plan(cfg, data)
+        ew_fn = make_edgewise_loss_fn(_ew_plan)
+        const["ew"] = edgewise_consts(_ew_plan)
     root = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(root)
     variables = jax.jit(
@@ -189,7 +194,7 @@ def train_teacher(
         if ew_fn is not None:
             # linkp uses the full (unmasked) embedding (trainer:418)
             l_struct, linkp_train = ew_fn(
-                common, jax.random.fold_in(rng, 2), "train"
+                common, jax.random.fold_in(rng, 2), "train", c["ew"]
             )
             loss = loss + l_struct * cfg.TeacherGNN.lossa_structure
         new_bs = new_vars.get("batch_stats") if mutable else batch_stats
@@ -200,7 +205,7 @@ def train_teacher(
             loss_fn, has_aux=True
         )(params, batch_stats, rng, c)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
 
         # eval-mode full forward (run_testSet, trainer:453-495)
         vs = {"params": params}
@@ -221,7 +226,7 @@ def train_teacher(
             )
         if ew_fn is not None:
             _, linkp_test = ew_fn(
-                common_eval, jax.random.fold_in(rng, 5), "test"
+                common_eval, jax.random.fold_in(rng, 5), "test", c["ew"]
             )
             metrics["linkp_train"] = linkp_train
             metrics["linkp_test"] = linkp_test
@@ -399,7 +404,7 @@ def train_semlp_part1(
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
 
         tidx = sample(ke, c["test_idx"])
         out_t = part1.apply({"params": params}, c["x"][tidx], train=False)

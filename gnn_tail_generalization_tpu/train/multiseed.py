@@ -14,6 +14,7 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from ..config import Config
 from ..data.datasets import PreparedData
@@ -34,9 +35,12 @@ def train_teacher_multiseed(
     n_seeds = len(seeds)
     ew_fn = None
     if cfg.has_loss_component_edgewise:
-        from .edgewise import build_edgewise_plan, make_edgewise_loss_fn
+        from .edgewise import (
+            build_edgewise_plan, edgewise_consts, make_edgewise_loss_fn,
+        )
 
-        ew_fn = make_edgewise_loss_fn(build_edgewise_plan(cfg, data))
+        _ew_plan = build_edgewise_plan(cfg, data)
+        ew_fn = make_edgewise_loss_fn(_ew_plan)
     const = {
         "g": data.graph,
         "x": jnp.asarray(data.x),
@@ -52,6 +56,8 @@ def train_teacher_multiseed(
         if zero is not None:
             const["zero"] = zero
 
+    if ew_fn is not None:
+        const["ew"] = edgewise_consts(_ew_plan)
     model = TeacherGNN(cfg)
     keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
 
@@ -90,7 +96,7 @@ def train_teacher_multiseed(
                 loss = loss + cfg.se_reg * se_reg_all
             if ew_fn is not None:
                 l_struct, linkp_train = ew_fn(
-                    common, jax.random.fold_in(rng, 2), "train")
+                    common, jax.random.fold_in(rng, 2), "train", c["ew"])
                 loss = loss + l_struct * cfg.TeacherGNN.lossa_structure
             return loss, (nv.get("batch_stats") if mutable else bs,
                           linkp_train)
@@ -99,7 +105,7 @@ def train_teacher_multiseed(
             lambda p: loss_fn(p, batch_stats), has_aux=True
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
 
         vs = {"params": params}
         if new_bs is not None:
@@ -117,7 +123,7 @@ def train_teacher_multiseed(
                 c.get("zero")))
         if ew_fn is not None:
             _, linkp_test = ew_fn(
-                common_eval, jax.random.fold_in(rng, 5), "test")
+                common_eval, jax.random.fold_in(rng, 5), "test", c["ew"])
             metrics["linkp_train"] = linkp_train
             metrics["linkp_test"] = linkp_test
         mvec = jnp.stack([jnp.asarray(metrics[c2], jnp.float32)
