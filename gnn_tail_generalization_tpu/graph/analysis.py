@@ -96,7 +96,10 @@ def degree_splits(
         )
 
     idx = partial_sorted_idx(degs_dst, "top6")
-    order = np.argsort(degs_dst[idx], kind="stable")
+    # numpy DEFAULT argsort (introsort), matching the reference's
+    # `.argsort()` at utils.py:703 — the degree array is tie-heavy, so the
+    # sort algorithm determines which nodes land in the isolation half
+    order = np.argsort(degs_dst[idx])
     idx = idx[order]
     zero = idx[: len(idx) // 2]
     small = idx[len(idx) // 2 :]

@@ -118,9 +118,18 @@ class Graph:
     ) -> "Graph":
         """Replace edge weights (dst-sorted order). ``w_t`` defaults to the
         consistent permutation of ``w``. ``rebuild_dense=False`` drops the
-        dense materialization (auto SpMM then uses the gather path)."""
+        dense materialization (auto SpMM then uses the gather path).
+
+        Padding slots are force-masked to 0: the static-shape padding edges
+        are (last_node -> last_node) self-loops, and caller-provided
+        weights (learned edge weights, sigmoid outputs, ...) would
+        otherwise aggregate real values through them."""
+        real = jnp.arange(self.e_pad) < self.n_edge
+        w = jnp.where(real, w, 0.0)
         if w_t is None:
             w_t = w[self.t_from_fwd]
+        else:
+            w_t = jnp.where(real, w_t, 0.0)
         dense = None
         if rebuild_dense and self.dense_adj is not None:
             dense = _dense_from_coo_jnp(

@@ -73,9 +73,17 @@ class TricksCombBackbone(nn.Module):
         )
 
     def se_dim(self) -> int:
-        """Output dim of collect_SE (concat of per-layer activations)."""
+        """Output dim of collect_SE (concat of per-layer activations).
+
+        num_layers == 1 non-residual: the single conv is built by the
+        first-layer branch (feats -> dim_hidden), so the 'last layer is
+        num_classes wide' rule does not apply — matching the reference's
+        runtime shape (its forward also routes L=1 through the first-layer
+        conv, GCN.py:31-44)."""
         if self.has_residual_mlp:
             return self.num_layers * self.dim_hidden
+        if self.num_layers == 1:
+            return self.dim_hidden
         return (self.num_layers - 1) * self.dim_hidden + self.num_classes
 
     def _norm_cfg(self):

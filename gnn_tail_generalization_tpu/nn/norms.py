@@ -107,7 +107,15 @@ def groupnorm_presets(dataset: str, type_model: str, num_layers: int):
             skip = 0.001 if num_layers < 6 else 0.01
         else:
             skip = 0.01 if num_layers < 60 else 0.005
-    elif dataset in ("CoauthorCS", "CoauthorPhysics", "AmazonComputers",
+    elif dataset == "CoauthorCS":
+        # norm_tricks.py:187-191 — the reachable CoauthorCS branch (the
+        # later flat-0.005 elif that also lists CoauthorCS is dead code in
+        # the reference)
+        if type_model in ("GAT", "GCN"):
+            skip = 0.001 if num_layers < 6 else 0.03
+        else:
+            skip = 0.001 if num_layers < 10 else 0.5
+    elif dataset in ("CoauthorPhysics", "AmazonComputers",
                      "AmazonPhoto", "TEXAS", "WISCONSIN", "CORNELL"):
         skip = 0.005
     else:

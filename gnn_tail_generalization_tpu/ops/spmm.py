@@ -142,19 +142,26 @@ spmm.defvjp(_spmm_fwd, _spmm_bwd)
 def spmm_edge_grad(g: Graph, x: jax.Array, w: jax.Array,
                    method: str = "auto", precision=Precision.HIGHEST):
     """SpMM with differentiable edge weights ``w`` (dst-sorted order):
-    dw_e = dy[dst_e] . x[src_e] (SDDMM). For learned-edge-weight models."""
-    return _spmm_impl(g.with_edge_weight(w), x, method, precision)
+    dw_e = dy[dst_e] . x[src_e] (SDDMM). For learned-edge-weight models.
+    method='dense' rebuilds the dense adjacency from the new weights
+    (with_edge_weight drops it by default)."""
+    return _spmm_impl(
+        g.with_edge_weight(w, rebuild_dense=method == "dense"),
+        x, method, precision)
 
 
 def _seg_fwd(g, x, w, method, precision):
-    return _spmm_impl(g.with_edge_weight(w), x, method, precision), (g, x, w)
+    gw = g.with_edge_weight(w, rebuild_dense=method == "dense")
+    return _spmm_impl(gw, x, method, precision), (g, x, w)
 
 
 def _seg_bwd(method, precision, res, dy):
+    from .sddmm import edge_dot
+
     g, x, w = res
-    gw = g.with_edge_weight(w)
+    gw = g.with_edge_weight(w, rebuild_dense=method == "dense")
     dx = _spmm_impl(gw.transpose(), dy, method, precision)
-    dw = jnp.sum(dy[g.receivers] * x[g.senders], axis=-1).astype(w.dtype)
+    dw = edge_dot(dy[g.receivers], x[g.senders]).astype(w.dtype)
     # padding slots (appended after the n_edge real edges) point at the
     # last node; zero their cotangent or trained weights drift off 0 there
     real = jnp.arange(g.e_pad) < g.n_edge

@@ -98,3 +98,47 @@ def test_spmm_jit_under_vmap_free(rng):
     x = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
     y = jax.jit(lambda x: spmm(g, x))(x)
     np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x), rtol=1e-4, atol=1e-4)
+
+
+def test_edge_grad_padding_weights_masked(rng):
+    """Caller-provided edge weights (e.g. sigmoid(0)=0.5 at init) must NOT
+    aggregate through the static-shape padding self-loops at the last
+    node (round-2 review finding)."""
+    from gnn_tail_generalization_tpu.graph import core
+    from gnn_tail_generalization_tpu.ops.spmm import spmm_edge_grad
+
+    n = 10
+    src = np.asarray([0, 1, 2, 3])
+    dst = np.asarray([4, 4, 5, 6])
+    g = core.build_graph(np.stack([src, dst]), n, with_dense=False,
+                         pad_multiple=8)  # 4 padding edges at (9 -> 9)
+    assert g.e_pad > g.n_edge
+    x = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    w = jnp.full((g.e_pad,), 0.5, jnp.float32)
+    y = spmm_edge_grad(g, x, w, "gather")
+    np.testing.assert_allclose(np.asarray(y)[9], 0.0, atol=1e-6)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (dst, src), 0.5)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+    # dense method rebuilds the dense adjacency from the new weights
+    g2 = core.build_graph(np.stack([src, dst]), n, with_dense=True,
+                          pad_multiple=8)
+    y2 = spmm_edge_grad(g2, x, w, "dense")
+    np.testing.assert_allclose(np.asarray(y2), dense @ np.asarray(x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_se_dim_single_layer():
+    from gnn_tail_generalization_tpu.nn.backbone import TricksCombBackbone
+
+    bb = TricksCombBackbone(num_feats=10, num_classes=7, dim_hidden=16,
+                            num_layers=1, n_node=20, dropout=0.0)
+    g_np = np.stack([np.arange(20), (np.arange(20) + 1) % 20])
+    from gnn_tail_generalization_tpu.graph import core
+
+    g = core.build_graph(g_np, 20)
+    x = jnp.zeros((20, 10))
+    vs = bb.init(jax.random.PRNGKey(0), g, x, train=False)
+    _, _, les = bb.apply(vs, g, x, train=False, want_les=True)
+    assert les.shape[1] == bb.se_dim() == 16
