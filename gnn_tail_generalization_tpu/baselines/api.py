@@ -35,7 +35,9 @@ def gen_baseline_embs(edge_index: np.ndarray, n_node: int, alg: str,
     g = build_graph(e, n_node, with_dense=n_node <= 4096,
                     with_plans=n_node > 4096)
     if x is None:
-        x = degree_bucketing(e, n_node)
+        # reference run_airport.py:46-48 overrides max_degree with n_hidden
+        # so the degree one-hot has the model's hidden width
+        x = degree_bucketing(e, n_node, max_degree=hidden_dim)
     xd = jnp.asarray(np.asarray(x, np.float32))
 
     if alg == "DGI":

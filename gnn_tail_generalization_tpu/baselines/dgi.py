@@ -52,8 +52,8 @@ def train_dgi(g: Graph, x, hidden_dim: int = 64, num_layers: int = 2,
     k = jax.random.PRNGKey(seed)
     perm0 = jax.random.permutation(k, n)
     variables = jax.jit(
-        lambda g, x: model.init({"params": k}, g, x, perm0, train=True)
-    )(g, x)
+        lambda g, x, p0: model.init({"params": k}, g, x, p0, train=True)
+    )(g, x, perm0)
     params, bs = variables["params"], variables.get("batch_stats")
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -96,5 +96,8 @@ def train_dgi(g: Graph, x, hidden_dim: int = 64, num_layers: int = 2,
     vs = {"params": best_params}
     if best_bs is not None:
         vs["batch_stats"] = best_bs
-    embs = model.apply(vs, g, x, train=False, method=model.embed)
+    embs = jax.jit(
+        lambda vs, g, x: model.apply(vs, g, x, train=False,
+                                     method=model.embed)
+    )(vs, g, x)
     return jax.lax.stop_gradient(embs), best_params

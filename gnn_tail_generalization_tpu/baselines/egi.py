@@ -147,6 +147,10 @@ class EGI(nn.Module):
     measure: str = "JSD"
 
     def setup(self):
+        # DV's negative expectation is a batch-level logsumexp (not
+        # per-sample decomposable, matching the reference's formula), so it
+        # cannot be combined with the masked per-edge sum below
+        assert self.measure != "DV", "EGI requires a per-sample measure"
         self.encoder = GINEncoder(self.hidden_dim, self.num_layers)
         self.disc = SubGDiscriminator(self.hidden_dim)
 
@@ -194,11 +198,10 @@ def train_egi(g: Graph, x, hidden_dim: int = 64, num_layers: int = 2,
     k = jax.random.PRNGKey(seed)
     flows0 = sample()
     variables = jax.jit(
-        lambda g, x, f: model.init(
-            {"params": k}, g, x, f, jnp.arange(n, dtype=jnp.int32),
-            train=True,
+        lambda g, x, f, perm: model.init(
+            {"params": k}, g, x, f, perm, train=True,
         )
-    )(g, x, flows0)
+    )(g, x, flows0, jnp.arange(n, dtype=jnp.int32))
     params, bs = variables["params"], variables.get("batch_stats")
     tx = optax.adam(lr)
     opt_state = tx.init(params)
@@ -244,5 +247,8 @@ def train_egi(g: Graph, x, hidden_dim: int = 64, num_layers: int = 2,
     vs = {"params": params}
     if bs is not None:
         vs["batch_stats"] = bs
-    embs = model.apply(vs, g, x, train=False, method=model.embed)
+    embs = jax.jit(
+        lambda vs, g, x: model.apply(vs, g, x, train=False,
+                                     method=model.embed)
+    )(vs, g, x)
     return jax.lax.stop_gradient(embs), params

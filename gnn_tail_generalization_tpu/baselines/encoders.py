@@ -54,3 +54,19 @@ class MeanSAGELayer(nn.Module):
         agg = spmm(g, h) / deg[:, None]
         z = nn.Dense(self.out_dim)(jnp.concatenate([h, agg], axis=-1))
         return nn.relu(z) if self.activation else z
+
+
+class GCNSAGELayer(nn.Module):
+    """dgl SAGEConv(aggregator_type='gcn'): W((sum_neighbors + h_self) /
+    (deg + 1)) — no self-concat, one weight (the reference VGAE's tower,
+    vgae.py:45-47)."""
+
+    out_dim: int
+    activation: bool = True
+
+    @nn.compact
+    def __call__(self, g: Graph, h):
+        deg = g.deg_in
+        agg = (spmm(g, h) + h) / (deg + 1.0)[:, None]
+        z = nn.Dense(self.out_dim)(agg)
+        return nn.relu(z) if self.activation else z

@@ -39,6 +39,9 @@ def positive_expectation(p_samples, measure: str, average: bool = True):
 
 
 def negative_expectation(q_samples, measure: str, average: bool = True):
+    """NOTE: 'DV' reduces to a scalar logsumexp regardless of ``average``
+    (matching the reference's formula, models/utils.py:144-145) — it is
+    not per-sample decomposable; don't combine it with masked sums."""
     if measure == "GAN":
         eq = jax.nn.softplus(-q_samples) + q_samples
     elif measure == "JSD":

@@ -236,5 +236,8 @@ def train_pretrain_gin(g: Graph, x, variant: str = "masking",
     vs = {"params": params}
     if bs is not None:
         vs["batch_stats"] = bs
-    embs = model.apply(vs, g, x, train=False, method=model.embed)
+    embs = jax.jit(
+        lambda vs, g, x: model.apply(vs, g, x, train=False,
+                                     method=model.embed)
+    )(vs, g, x)
     return jax.lax.stop_gradient(embs), params

@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.core import Graph
-from .encoders import MeanSAGELayer
+from .encoders import GCNSAGELayer
 
 
 class VGAE(nn.Module):
@@ -21,9 +21,9 @@ class VGAE(nn.Module):
     latent_dim: int
 
     def setup(self):
-        self.base = MeanSAGELayer(self.hidden_dim)
-        self.mu_layer = MeanSAGELayer(self.latent_dim, activation=False)
-        self.logstd_layer = MeanSAGELayer(self.latent_dim, activation=False)
+        self.base = GCNSAGELayer(self.hidden_dim)
+        self.mu_layer = GCNSAGELayer(self.latent_dim, activation=False)
+        self.logstd_layer = GCNSAGELayer(self.latent_dim, activation=False)
 
     def encode(self, g: Graph, x):
         h = self.base(g, x)
@@ -40,14 +40,22 @@ class VGAE(nn.Module):
 
         zb = z[batch_idx]
         logits = zb @ zb.T
-        # ground-truth sub-adjacency from the dense or edge view
+        # ground-truth sub-adjacency; reference semantics (vgae.py:100-110):
+        # pos_weight and norm come from the SELF-LOOP-FREE sub adjacency,
+        # the BCE label adds the identity back, and the weighted BCE is
+        # scaled by norm = B^2 / (2 (B^2 - pos))
         adj = _sub_adjacency(g, batch_idx)
-        pos = adj.sum()
-        total = adj.size
+        b = batch_idx.shape[0]
+        eye = jnp.eye(b, dtype=adj.dtype)
+        adj_nosl = adj * (1.0 - eye)
+        label = jnp.maximum(adj, eye)  # adj_label = sub + I
+        pos = adj_nosl.sum()
+        total = float(adj.size)
         pos_weight = (total - pos) / jnp.maximum(pos, 1.0)
-        w = jnp.where(adj > 0, pos_weight, 1.0)
-        bce = jnp.mean(
-            w * (jnp.maximum(logits, 0) - logits * adj
+        norm = total / jnp.maximum(2.0 * (total - pos), 1.0)
+        w = jnp.where(label > 0, pos_weight, 1.0)
+        bce = norm * jnp.mean(
+            w * (jnp.maximum(logits, 0) - logits * label
                  + jnp.log1p(jnp.exp(-jnp.abs(logits))))
         )
         kl = -0.5 / x.shape[0] * jnp.mean(
@@ -86,10 +94,8 @@ def train_vgae(g: Graph, x, hidden_dim: int = 64, latent_dim: int = 32,
     bsz = min(batch_size, n)
     k = jax.random.PRNGKey(seed)
     params = jax.jit(
-        lambda g, x: model.init(
-            {"params": k}, g, x, k, jnp.arange(bsz, dtype=jnp.int32)
-        )
-    )(g, x)["params"]
+        lambda g, x, bidx: model.init({"params": k}, g, x, k, bidx)
+    )(g, x, jnp.arange(bsz, dtype=jnp.int32))["params"]
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
@@ -103,7 +109,7 @@ def train_vgae(g: Graph, x, hidden_dim: int = 64, latent_dim: int = 32,
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
     for ep in range(epochs):
@@ -112,5 +118,7 @@ def train_vgae(g: Graph, x, hidden_dim: int = 64, latent_dim: int = 32,
         if log_every and ep % log_every == 0:
             print(f"vgae ep {ep}: loss={float(loss):.4f}")
 
-    embs = model.apply({"params": params}, g, x, method=model.embed)
+    embs = jax.jit(
+        lambda p, g, x: model.apply({"params": p}, g, x, method=model.embed)
+    )(params, g, x)
     return jax.lax.stop_gradient(embs), params

@@ -18,6 +18,7 @@ _SO = os.path.join(_DIR, "libgraph_prep.so")
 _SRC = os.path.join(_DIR, "graph_prep.cpp")
 
 _lib = None
+_load_failed = False
 
 
 def _build() -> bool:
@@ -33,18 +34,22 @@ def _build() -> bool:
 
 
 def _load():
-    global _lib
+    global _lib, _load_failed
     if _lib is not None:
         return _lib
+    if _load_failed:
+        return None  # cache failures: don't re-run g++ per call
     if not os.path.exists(_SO) or (
         os.path.exists(_SRC)
         and os.path.getmtime(_SRC) > os.path.getmtime(_SO)
     ):
         if not _build():
+            _load_failed = True
             return None
     try:
         lib = ctypes.CDLL(_SO)
     except OSError:
+        _load_failed = True
         return None
 
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

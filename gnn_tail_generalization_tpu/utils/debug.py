@@ -34,18 +34,19 @@ def profile_trace(logdir: str):
 
 
 def checked(fn, *, div: bool = True, nan: bool = True, inf: bool = True):
-    """checkify-wrapped fn: returns g(*args) -> (err, out)."""
+    """checkify-wrapped fn: returns g(*args) -> (err, out).
+
+    checkify has no standalone inf set: nan_checks covers NaN AND Inf
+    detection, so ``inf`` folds into ``nan`` (requesting either enables
+    nan_checks) rather than being a silent no-op."""
     from jax.experimental import checkify
 
-    checks = set()
+    checks = []
     if div:
-        checks |= {checkify.div_checks}
-    if nan:
-        checks |= {checkify.nan_checks}
-    # float_checks = nan + div + inf bundles
-    errors = checkify.float_checks if (nan and div and inf) else frozenset(
-        c for cs in checks for c in cs
-    )
+        checks.append(checkify.div_checks)
+    if nan or inf:
+        checks.append(checkify.nan_checks)
+    errors = frozenset(c for cs in checks for c in cs)
     return checkify.checkify(fn, errors=errors)
 
 

@@ -25,15 +25,33 @@ class TensorRex:
     """
 
     def __init__(self, path: str, grid_shape: Sequence[int],
-                 record_len: int):
+                 record_len: int, grow_to_fit: bool = False):
+        """``grow_to_fit``: when the requested shape and an existing file
+        disagree, expand to the elementwise max instead of asserting —
+        lets per-cell callers (main.py --prog i-j-k without an explicit
+        grid shape) fill one shared grid across processes."""
         self.path = path
         self.grid_shape = tuple(grid_shape)
         self.record_len = record_len
         if os.path.exists(path):
             self.arr = np.load(path)
-            assert self.arr.shape[:-1] == self.grid_shape, (
-                f"existing rex shape {self.arr.shape} vs {self.grid_shape}"
-            )
+            old = self.arr.shape[:-1]
+            if old != self.grid_shape:
+                if not grow_to_fit:
+                    raise AssertionError(
+                        f"existing rex shape {self.arr.shape} vs "
+                        f"{self.grid_shape}")
+                if len(old) != len(self.grid_shape):
+                    raise AssertionError(
+                        f"rex rank mismatch: {old} vs {self.grid_shape}")
+                new_shape = tuple(max(a, b)
+                                  for a, b in zip(old, self.grid_shape))
+                grown = np.zeros(new_shape + (self.arr.shape[-1],))
+                grown[tuple(slice(0, s) for s in old)] = self.arr
+                self.arr = grown
+                self.grid_shape = new_shape
+            else:
+                self.grid_shape = old
         else:
             self.arr = np.zeros(self.grid_shape + (record_len + 1,))
 

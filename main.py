@@ -114,10 +114,21 @@ def main():
         # cells, persist the final row on completion
         from gnn_tail_generalization_tpu.utils.records import TensorRex
 
-        cell = tuple(int(v) for v in cfg.prog.replace(",", "-").split("-"))
+        # --prog "i-j-k" or "i-j-k/Si-Sj-Sk" (the reference's prog string
+        # carries the grid shape, main.py:29-31). Without an explicit
+        # shape, an existing rex file defines it; a fresh file sizes the
+        # grid to contain the cell.
+        spec = cfg.prog.replace(",", "-")
+        shape = None
+        if "/" in spec:
+            cell_s, shape_s = spec.split("/")
+            cell = tuple(int(v) for v in cell_s.split("-"))
+            shape = tuple(int(v) for v in shape_s.split("-"))
+        else:
+            cell = tuple(int(v) for v in spec.split("-"))
         rex = TensorRex(f"{cfg.records_path}/{cfg.rexName}",
-                        grid_shape=tuple(c + 1 for c in cell),
-                        record_len=8)
+                        grid_shape=shape or tuple(c + 1 for c in cell),
+                        record_len=8, grow_to_fit=shape is None)
         if rex.is_done(cell):
             print(f"rex cell {cell} already done; skipping")
             return
@@ -184,6 +195,9 @@ def main():
                 )
             if isinstance(res, dict):  # pure LP
                 print(json.dumps(res))
+                if rex is not None:
+                    rex.record(cell, list(res.values()))
+                    print(f"rex cell {cell} recorded")
                 return
             all_records.append(res.records)
             print(f"seed {seed}: " + " ".join(

@@ -71,3 +71,21 @@ def test_plot_curve_writes_png(tmp_path):
     import os
 
     assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+
+def test_tensorrex_grid_grows_across_cells(tmp_path):
+    """main.py --prog per-cell resumption: a second cell with larger
+    coordinates must grow the shared grid instead of asserting (round-2
+    review finding)."""
+    from gnn_tail_generalization_tpu.utils.records import TensorRex
+
+    path = str(tmp_path / "rex.npy")
+    r1 = TensorRex(path, grid_shape=(1, 1), record_len=3, grow_to_fit=True)
+    r1.record((0, 0), [1.0, 2.0, 3.0])
+    r2 = TensorRex(path, grid_shape=(1, 2), record_len=3, grow_to_fit=True)
+    assert not r2.is_done((0, 1))
+    assert r2.is_done((0, 0))
+    r2.record((0, 1), [4.0, 5.0, 6.0])
+    r3 = TensorRex(path, grid_shape=(2, 2), record_len=3, grow_to_fit=True)
+    assert r3.is_done((0, 0)) and r3.is_done((0, 1))
+    assert not r3.is_done((1, 1))
