@@ -144,7 +144,8 @@ def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
             e_crafted, _ = analysis.craft_isolation(e, splits.zero_deg_mask)
 
     dg = build_dist_graph(e_crafted, n, mesh, axis=axis,
-                          model_axis=model_axis, rb=rb, eb=eb)
+                          model_axis=model_axis, rb=rb, eb=eb,
+                          with_edge_view=cfg.apply_graph_dropout)
     npad = dg.n_node_pad
     sh_m = NamedSharding(mesh, P(axis, model_axis))
     sh_v = NamedSharding(mesh, P(axis))

@@ -104,20 +104,13 @@ class TricksCombBackbone(nn.Module):
         # --- per-layer graphs (graph-dropout tricks) ---
         graphs = [g] * self.num_layers
         if self.apply_graph_dropout and train:
-            if not hasattr(g, "t_from_fwd"):
-                raise NotImplementedError(
-                    "graph-dropout tricks need per-edge masking, which the "
-                    "sharded DistGraph does not expose yet — run graph "
-                    "dropout single-device (the reference's behavior is a "
-                    "no-op anyway, PARITY.md) or disable "
-                    "Config.apply_graph_dropout")
             rng = self.make_rng("graph_dropout")
             masks = gd.per_layer_edge_masks(
-                rng, g, self.type_trick, self.graph_dropout,
+                rng, gd.mask_view(g), self.type_trick, self.graph_dropout,
                 self.num_layers, self.layerwise_dropout, train,
             )
             if masks is not None:
-                graphs = [gd.masked_graph(g, m, g.t_from_fwd) for m in masks]
+                graphs = [gd.apply_edge_mask(g, m) for m in masks]
 
         x_list: List = []
         les: List = []

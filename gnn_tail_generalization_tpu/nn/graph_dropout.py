@@ -119,6 +119,29 @@ def per_layer_edge_masks(
     return [m] * num_layers
 
 
+def mask_view(g):
+    """The edge list the mask samplers should draw over: the Graph itself
+    single-device, or the canonical global-edge view of a sharded
+    DistGraph (parallel/distgraph.global_edge_view)."""
+    if isinstance(g, Graph):
+        return g
+    from ..parallel.distgraph import global_edge_view
+
+    return global_edge_view(g)
+
+
+def apply_edge_mask(g, mask: jax.Array):
+    """Masked copy of ``g`` (single-device Graph or sharded DistGraph).
+    The DistGraph path keeps its Pallas plans valid (weights re-scaled via
+    per-slot gid maps) — sharded graph dropout stays scatter-free, where
+    the single-device path must fall back to gather/segment_sum."""
+    if isinstance(g, Graph):
+        return masked_graph(g, mask, g.t_from_fwd)
+    from ..parallel.distgraph import masked_dist_graph
+
+    return masked_dist_graph(g, mask)
+
+
 def masked_graph(g: Graph, mask: jax.Array, t_from_fwd: jax.Array) -> Graph:
     """Apply an edge mask, recomputing degrees from the surviving edges
     (stop-gradient; degrees are structural)."""

@@ -57,6 +57,8 @@ def _round_up(x: int, m: int) -> int:
         "p_senders", "p_dst", "p_w", "p_block", "p_first",
         "pt_senders", "pt_dst", "pt_w", "pt_block", "pt_first",
         "deg_out", "deg_in",
+        "bkt_gid", "bkt_gid_t", "p_gid", "pt_gid",
+        "edge_src", "edge_dst", "edge_w", "edge_src_perm",
     ],
     meta_fields=[
         "n_node", "n_node_pad", "rows_per_shard", "n_shards", "e_bucket",
@@ -94,6 +96,25 @@ class DistGraph:
     pt_first: Optional[jax.Array]
     deg_out: jax.Array  # [n_node_pad] f32, row-sharded
     deg_in: jax.Array
+    #: edge-view fields (``with_edge_view=True``): global edge ids per
+    #: bucket/plan slot (pad -> -1) plus the canonical dst-sorted global
+    #: edge list, replicated. They let graph-dropout tricks draw one
+    #: per-edge mask [E] and apply it CONSISTENTLY to every weight array
+    #: (fwd + transposed, bucket + plan) without rebuilding plans — the
+    #: sharded path stays scatter-free under dropout, which the
+    #: single-device path cannot do (nn/graph_dropout.masked_graph drops
+    #: its plans).
+    bkt_gid: Optional[jax.Array] = None  # [S, S, E_b] int32
+    bkt_gid_t: Optional[jax.Array] = None
+    p_gid: Optional[jax.Array] = None  # [S, S, n_chunks*eb] int32
+    pt_gid: Optional[jax.Array] = None
+    edge_src: Optional[jax.Array] = None  # [E] int32, replicated
+    edge_dst: Optional[jax.Array] = None  # [E] int32, dst-sorted
+    edge_w: Optional[jax.Array] = None  # [E] f32
+    #: canonical->src-sorted permutation: deg_out after masking uses a
+    #: SORTED segment_sum (keeps the sharded path scatter-free). Not
+    #: swapped by transpose() — masks apply to forward graphs.
+    edge_src_perm: Optional[jax.Array] = None  # [E] int32
     n_node: int = 0
     n_node_pad: int = 0
     rows_per_shard: int = 0
@@ -113,6 +134,10 @@ class DistGraph:
     def has_plans(self) -> bool:
         return self.p_senders is not None
 
+    @property
+    def has_edge_view(self) -> bool:
+        return self.edge_src is not None
+
     def transpose(self) -> "DistGraph":
         """A^T: swap to the pre-built transposed bucket/plan sets (no
         device data movement)."""
@@ -129,27 +154,51 @@ class DistGraph:
             pt_senders=self.p_senders, pt_dst=self.p_dst, pt_w=self.p_w,
             pt_block=self.p_block, pt_first=self.p_first,
             deg_out=self.deg_in, deg_in=self.deg_out,
+            bkt_gid=self.bkt_gid_t, bkt_gid_t=self.bkt_gid,
+            p_gid=self.pt_gid, pt_gid=self.p_gid,
+            edge_src=self.edge_dst, edge_dst=self.edge_src,
+            edge_src_perm=None,
             n_chunks=self.n_chunks_t, n_chunks_t=self.n_chunks,
         )
 
 
 def _stack_bucket_plans(buckets, rows, rb, eb):
-    """buckets: [S][S] of (senders_local, receivers_local, w) numpy triples.
-    Returns stacked plan arrays padded to a common chunk count. Padding
-    chunks target block 0 with weight 0 and first_of_block=0 (adds zero,
-    never re-zeroes)."""
+    """buckets: [S][S] of (senders_local, receivers_local, w[, gid]) numpy
+    tuples. Returns stacked plan arrays padded to a common chunk count
+    (+ a stacked gid array when gids are present). Padding chunks target
+    the last block with weight 0 and first_of_block=0 (adds zero, never
+    re-zeroes)."""
     s = len(buckets)
+    with_gids = len(buckets[0][0]) == 4
     plans = []
+    gid_plans = [] if with_gids else None
     n_chunks_max = 0
     for k in range(s):
         row = []
+        grow = []
         for j in range(s):
-            sl, rl, w = buckets[k][j]
+            sl, rl, w, *rest = buckets[k][j]
             order = np.argsort(rl, kind="stable")
             p = build_plan(sl[order], rl[order], w[order], rows, rb=rb, eb=eb)
             n_chunks_max = max(n_chunks_max, p.n_chunks)
             row.append(p)
+            if with_gids:
+                # the chunk layout of build_plan depends only on (senders,
+                # receivers) — weights ride along — so a second plan built
+                # with f32-encoded gid+1 as weights lands every edge's gid
+                # in exactly the slot its weight occupies. Exact for
+                # E < 2^24 (f32 integer range).
+                gid = rest[0]
+                assert len(gid) == 0 or gid.max() + 1 < 2 ** 24
+                gp = build_plan(sl[order], rl[order],
+                                (gid[order] + 1).astype(np.float32),
+                                rows, rb=rb, eb=eb)
+                grow.append(
+                    np.asarray(gp.weights).astype(np.int64).astype(np.int32)
+                    - 1)
         plans.append(row)
+        if with_gids:
+            gid_plans.append(grow)
 
     n_blocks = rows // rb
 
@@ -173,12 +222,21 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
                 out[k, j, : arr.shape[0]] = arr
         return out
 
+    gid_stack = None
+    if with_gids:
+        gid_stack = np.full((s, s, n_chunks_max * eb), -1, np.int32)
+        for k in range(s):
+            for j in range(s):
+                arr = gid_plans[k][j]
+                gid_stack[k, j, : arr.shape[0]] = arr
+
     return (
         field("senders", False),
         field("dst_local", False),
         field("weights", False),
         field("block_of_chunk", True),
         field("first_of_block", True),
+        gid_stack,
         n_chunks_max,
     )
 
@@ -194,15 +252,23 @@ def build_dist_graph(
     rb: int = 128,
     eb: int = 1024,
     with_plans: bool = True,
+    with_edge_view: bool = False,
     pad_multiple: int = 8,
 ) -> DistGraph:
     """Host-side build + device_put with the mesh's shardings. The dst-shard
     leading axis of every bucket/plan array is sharded over ``axis``; degree
-    vectors are row-sharded."""
+    vectors are row-sharded. ``with_edge_view=True`` additionally stores the
+    canonical (dst-sorted) global edge list and per-slot global edge ids so
+    graph-dropout masks can be applied in-graph (masked_dist_graph)."""
     n_shards = mesh.shape[axis]
     e = np.asarray(edge_index, np.int64)
     w = (np.ones(e.shape[1], np.float32) if edge_weight is None
          else np.asarray(edge_weight, np.float32))
+    # canonical edge order: dst-sorted (then src) — edge gids index this
+    # order, and the edge view's receivers are sorted for segment_sum
+    can = np.lexsort((e[0], e[1]))
+    e = e[:, can]
+    w = w[can]
     n_node_pad = _round_up(n_node, n_shards * rb)
     rows = n_node_pad // n_shards
 
@@ -218,6 +284,8 @@ def build_dist_graph(
     sl = np.zeros((n_shards, n_shards, e_b), np.int32)
     rl = np.zeros((n_shards, n_shards, e_b), np.int32)
     ws = np.zeros((n_shards, n_shards, e_b), np.float32)
+    gd = (np.full((n_shards, n_shards, e_b), -1, np.int32)
+          if with_edge_view else None)
     buckets = [[None] * n_shards for _ in range(n_shards)]
     bid = dst_shard * n_shards + src_shard
     order = np.argsort(bid, kind="stable")
@@ -232,23 +300,30 @@ def build_dist_graph(
             bw = wo[lo:hi]
             m = hi - lo
             sl[k, j, :m], rl[k, j, :m], ws[k, j, :m] = bs, br, bw
-            buckets[k][j] = (bs, br, bw)
+            if with_edge_view:
+                bgid = order[lo:hi].astype(np.int32)  # canonical edge ids
+                gd[k, j, :m] = bgid
+                buckets[k][j] = (bs, br, bw, bgid)
+            else:
+                buckets[k][j] = (bs, br, bw)
 
-    p = pt = (None,) * 5
+    p = pt = (None,) * 6
     n_chunks = n_chunks_t = 0
     if with_plans:
         *p, n_chunks = _stack_bucket_plans(buckets, rows, rb, eb)
-        bt = [[(buckets[j][k][1], buckets[j][k][0], buckets[j][k][2])
+        bt = [[(buckets[j][k][1], buckets[j][k][0]) + buckets[j][k][2:]
                for j in range(n_shards)] for k in range(n_shards)]
         *pt, n_chunks_t = _stack_bucket_plans(bt, rows, rb, eb)
 
     sh_b = NamedSharding(mesh, P(axis, None, None))
     sh_v = NamedSharding(mesh, P(axis))
+    sh_r = NamedSharding(mesh, P())  # replicated
     put = lambda a, sh: None if a is None else global_put(a, sh)
     # pre-transposed buckets: bucket (k,j) of A^T = (j,k) of A, swapped
     sl_t = np.swapaxes(rl, 0, 1).copy()
     rl_t = np.swapaxes(sl, 0, 1).copy()
     ws_t = np.swapaxes(ws, 0, 1).copy()
+    gd_t = None if gd is None else np.swapaxes(gd, 0, 1).copy()
     return DistGraph(
         bkt_senders=put(sl, sh_b),
         bkt_receivers=put(rl, sh_b),
@@ -264,6 +339,18 @@ def build_dist_graph(
         pt_first=put(pt[4], sh_b),
         deg_out=put(deg_out, sh_v),
         deg_in=put(deg_in, sh_v),
+        bkt_gid=put(gd, sh_b),
+        bkt_gid_t=put(gd_t, sh_b),
+        p_gid=put(p[5], sh_b),
+        pt_gid=put(pt[5], sh_b),
+        edge_src=(put(e[0].astype(np.int32), sh_r)
+                  if with_edge_view else None),
+        edge_dst=(put(e[1].astype(np.int32), sh_r)
+                  if with_edge_view else None),
+        edge_w=put(w, sh_r) if with_edge_view else None,
+        edge_src_perm=(
+            put(np.argsort(e[0], kind="stable").astype(np.int32), sh_r)
+            if with_edge_view else None),
         n_node=n_node,
         n_node_pad=n_node_pad,
         rows_per_shard=rows,
@@ -346,6 +433,81 @@ def dist_spmm(g: DistGraph, x: jax.Array,
         return y.astype(x_local.dtype)
 
     return f(x, *operands)
+
+
+class _EdgeView:
+    """Duck-typed Graph view over the canonical global edge list — exactly
+    the attribute surface nn/graph_dropout's mask samplers touch (senders /
+    receivers / edge_weight / e_pad / n_node). receivers are dst-sorted, so
+    ``indices_are_sorted=True`` segment-sums are valid."""
+
+    __slots__ = ("senders", "receivers", "edge_weight", "e_pad", "n_node")
+
+    def __init__(self, g: "DistGraph"):
+        assert g.has_edge_view, (
+            "DistGraph was built without with_edge_view=True — rebuild it "
+            "(data.prepare_sharded does this when cfg.apply_graph_dropout)")
+        self.senders = g.edge_src
+        self.receivers = g.edge_dst
+        self.edge_weight = g.edge_w
+        self.e_pad = g.edge_w.shape[0]
+        self.n_node = g.n_node
+
+
+def global_edge_view(g: "DistGraph") -> _EdgeView:
+    return _EdgeView(g)
+
+
+def masked_dist_graph(g: DistGraph, mask: jax.Array) -> DistGraph:
+    """Apply a per-edge mask (canonical global edge order, 1 keep / 0 drop)
+    to every weight array — forward + transposed, bucket + plan — via the
+    per-slot gid maps, and recompute degrees from the surviving edges.
+
+    Unlike the single-device ``nn/graph_dropout.masked_graph`` (which must
+    drop its baked Pallas plans and fall back to the scatter path), the
+    sharded plans stay valid: masking only scales plan weights, so the ring
+    aggregation remains scatter-free under DropEdge/DropNode/FastGCN/LADIES.
+    """
+    assert g.has_edge_view
+    mask = jax.lax.stop_gradient(mask.astype(jnp.float32))
+    ext = jnp.concatenate([jnp.ones((1,), jnp.float32), mask])
+
+    # the gather (replicated mask, dst-shard-sharded gid slots) runs under
+    # shard_map so each device scales its local slots — no ambiguous
+    # sharded-gather, no collectives
+    spec = P(g.axis, None, None)
+
+    @partial(shard_map, mesh=g.mesh, in_specs=(spec, spec, P()),
+             out_specs=spec, check_vma=False)
+    def _scale_local(warr, gidarr, ext):
+        return warr * jnp.take(ext, gidarr + 1)
+
+    def scale(warr, gidarr):
+        if warr is None:
+            return None
+        return jax.lax.stop_gradient(_scale_local(warr, gidarr, ext))
+
+    assert g.edge_src_perm is not None, (
+        "masked_dist_graph applies to forward graphs (transpose() drops "
+        "the src-sorted permutation)")
+    keep = mask * jnp.sign(jnp.abs(g.edge_w))
+    deg_in = jax.lax.stop_gradient(jax.ops.segment_sum(
+        keep, g.edge_dst, num_segments=g.n_node_pad,
+        indices_are_sorted=True))
+    perm = g.edge_src_perm
+    deg_out = jax.lax.stop_gradient(jax.ops.segment_sum(
+        jnp.take(keep, perm), jnp.take(g.edge_src, perm),
+        num_segments=g.n_node_pad, indices_are_sorted=True))
+
+    return dataclasses.replace(
+        g,
+        bkt_weight=scale(g.bkt_weight, g.bkt_gid),
+        bkt_weight_t=scale(g.bkt_weight_t, g.bkt_gid_t),
+        p_w=scale(g.p_w, g.p_gid),
+        pt_w=scale(g.pt_w, g.pt_gid),
+        deg_in=deg_in,
+        deg_out=deg_out,
+    )
 
 
 def global_put(a: np.ndarray, sharding: NamedSharding) -> jax.Array:

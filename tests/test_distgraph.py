@@ -178,16 +178,99 @@ def test_sharded_training_checkpoints_roundtrip(rng, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_graph_dropout_rejected_on_dist_graph(rng):
-    from gnn_tail_generalization_tpu.data.datasets import prepare_sharded
+def test_masked_dist_spmm_matches_dense(rng):
+    """masked_dist_graph: a per-edge mask over the canonical (dst-sorted)
+    global edge order must scale every weight array consistently — fwd,
+    transposed, bucket AND plan slots — and recompute degrees."""
+    mesh = _mesh(4)
+    e, w, _ = _random_graph(rng, e=500)
+    dg = dgm.build_dist_graph(e, 96, mesh, edge_weight=w, rb=8, eb=32,
+                              with_edge_view=True)
+    # canonical order replicates the builder's sort
+    can = np.lexsort((e[0], e[1]))
+    ec, wc = e[:, can], w[can]
+    mask = (rng.random(e.shape[1]) < 0.6).astype(np.float32)
+    dense_m = np.zeros((96, 96), np.float32)
+    np.add.at(dense_m, (ec[1], ec[0]), wc * mask)
+
+    # plan/gid alignment: every plan slot's weight equals the canonical
+    # edge weight its gid points to (pad slots: gid -1, weight 0)
+    for warr, garr in ((dg.p_w, dg.p_gid), (dg.pt_w, dg.pt_gid),
+                       (dg.bkt_weight, dg.bkt_gid),
+                       (dg.bkt_weight_t, dg.bkt_gid_t)):
+        wn, gn = np.asarray(warr).ravel(), np.asarray(garr).ravel()
+        np.testing.assert_allclose(wn[gn >= 0], wc[gn[gn >= 0]])
+        np.testing.assert_allclose(wn[gn < 0], 0.0)
+
+    gm = jax.jit(dgm.masked_dist_graph)(dg, jnp.asarray(mask))
+    x = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+    y = dgm.dist_spmm(gm, x)
+    np.testing.assert_allclose(np.asarray(y), dense_m @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    # transposed path (the backward ring) sees the SAME mask
+    yt = dgm.dist_spmm(gm.transpose(), x)
+    np.testing.assert_allclose(np.asarray(yt), dense_m.T @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    # degrees recomputed from surviving edges (sorted segment sums)
+    keep = mask * (wc != 0)
+    np.testing.assert_allclose(
+        np.asarray(gm.deg_in)[:96],
+        np.bincount(ec[1], weights=keep, minlength=96))
+    np.testing.assert_allclose(
+        np.asarray(gm.deg_out)[:96],
+        np.bincount(ec[0], weights=keep, minlength=96))
+
+
+def test_graph_dropout_dropnode_dist_matches_single_device(rng):
+    """DropNode draws a node mask (same shape single-device and sharded),
+    so the full teacher under apply_graph_dropout must produce identical
+    records on the mesh — the strong parity check for sharded dropout."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
     from gnn_tail_generalization_tpu.train import loops
 
-    cfg, data = _teacher_setup(rng, n=96)
-    cfg = dataclasses.replace(cfg, apply_graph_dropout=True)
+    cfg, data = _teacher_setup(rng, n=96, type_trick="Residual+DropNode")
+    cfg = dataclasses.replace(cfg, apply_graph_dropout=True,
+                              graph_dropout=0.4)
+    pd_single = prepare(data, cfg)
+    r1 = loops.train_teacher(cfg, pd_single, seed=3, epochs=3)
+
+    mesh = _mesh(4)
+    pd_dist = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    assert pd_dist.graph.has_edge_view
+    r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=3)
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+
+
+def test_graph_dropout_dropedge_dist_trains(rng):
+    """DropEdge's per-edge draw can't match single-device edge order;
+    smoke: the sharded teacher trains finite, and the masked step still
+    emits no scatter (the plans survive masking)."""
+    from gnn_tail_generalization_tpu.data.datasets import prepare_sharded
+    from gnn_tail_generalization_tpu.train import loops
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    cfg, data = _teacher_setup(rng, n=96, type_trick="Residual+DropEdge")
+    cfg = dataclasses.replace(cfg, apply_graph_dropout=True,
+                              graph_dropout=0.5)
     mesh = _mesh(4)
     pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
-    with pytest.raises(NotImplementedError, match="DistGraph"):
-        loops.train_teacher(cfg, pd, seed=0, epochs=1)
+    res = loops.train_teacher(cfg, pd, seed=0, epochs=2)
+    assert np.isfinite(res.records).all()
+
+    dg = pd.graph
+    mask = jnp.asarray(
+        (rng.random(np.asarray(dg.edge_w).shape[0]) < 0.5).astype(
+            np.float32))
+    x = jnp.asarray(rng.normal(size=(dg.n_node_pad, 32)).astype(np.float32))
+
+    def loss(x, dg, mask):
+        gm = dgm.masked_dist_graph(dg, mask)
+        return jnp.sum(spmm(gm, x) ** 2)
+
+    hlo = jax.jit(jax.grad(loss)).lower(x, dg, mask).as_text()
+    assert "scatter" not in hlo
 
 
 def test_dist_spmm_bf16_packed_ring(rng):
