@@ -273,6 +273,77 @@ def test_graph_dropout_dropedge_dist_trains(rng):
     assert "scatter" not in hlo
 
 
+def test_sharded_orbax_checkpoint_roundtrip(rng, tmp_path):
+    """Orbax sharded save/restore: values survive, restored leaves land on
+    the shardings the template asks for — including DIFFERENT shardings
+    than at save time (reshard-on-load)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gnn_tail_generalization_tpu.parallel.distgraph import shard_params
+    from gnn_tail_generalization_tpu.train.checkpoint import (
+        load_sharded_state, save_sharded_state,
+    )
+
+    mesh = _mesh(4)
+    params = {
+        "layer0": {"kernel": jnp.asarray(
+            rng.normal(size=(24, 16)).astype(np.float32)),
+            "se": jnp.asarray(rng.normal(size=(96, 16)).astype(np.float32))},
+        "head": {"kernel": jnp.asarray(
+            rng.normal(size=(16, 5)).astype(np.float32))},
+    }
+    sharded = shard_params(mesh, params)
+    state = {"params": sharded, "epoch": 7}
+    path = str(tmp_path / "ckpt")
+    save_sharded_state(path, state)
+
+    restored = load_sharded_state(path, state)
+    assert restored["epoch"] == 7
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(
+            restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    se = restored["params"]["layer0"]["se"]
+    assert se.sharding.spec == P("graph", None) or se.sharding.spec == P(
+        "graph")
+
+    # reshard-on-load: ask for everything replicated
+    repl = jax.tree.map(
+        lambda x: (x if isinstance(x, int)
+                   else jax.ShapeDtypeStruct(
+                       x.shape, x.dtype,
+                       sharding=NamedSharding(mesh, P()))),
+        state)
+    restored2 = load_sharded_state(path, repl)
+    se2 = restored2["params"]["layer0"]["se"]
+    assert se2.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(se2),
+                                  np.asarray(params["layer0"]["se"]))
+
+
+def test_save_train_state_sharded_routing(rng, tmp_path):
+    """save_train_state(sharded=True) writes the orbax directory instead of
+    msgpack, and load_train_state finds it transparently from the same
+    path (the auto-route multi-host runs take)."""
+    import os
+
+    from gnn_tail_generalization_tpu.parallel.distgraph import shard_params
+    from gnn_tail_generalization_tpu.train.checkpoint import (
+        load_train_state, save_train_state,
+    )
+
+    mesh = _mesh(4)
+    params = {"se": jnp.asarray(rng.normal(size=(32, 8)).astype(np.float32))}
+    sharded = shard_params(mesh, params)
+    path = str(tmp_path / "teacher.msgpack")
+    save_train_state(path, params=sharded, epoch=3, sharded=True)
+    assert not os.path.exists(path)
+    assert os.path.isdir(str(tmp_path / "teacher.orbax"))
+    loaded = load_train_state(path, {"params": sharded, "epoch": 0})
+    assert loaded["epoch"] == 3
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["se"]),
+                                  np.asarray(params["se"]))
+
+
 def test_dist_spmm_bf16_packed_ring(rng):
     """compute_dtype=bfloat16 routes each ring step through the packed-pair
     kernel (d > 128 -> packing); tolerance vs dense at bf16 operands."""

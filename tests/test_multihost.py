@@ -91,6 +91,23 @@ data = NodeData(x=xf, y=yf, edge_index=np.stack([src, dst]),
 pd = prepare_sharded(data, cfg, mesh, rb=8, eb=16)
 res = loops.train_teacher(cfg, pd, seed=0, epochs=2)
 assert np.isfinite(res.records).all()
+
+# sharded checkpoint across the process group: each process writes only
+# its addressable shards, restore reassembles the global arrays
+from gnn_tail_generalization_tpu.train.checkpoint import (
+    load_sharded_state, save_sharded_state,
+)
+
+ckpt_dir = sys.argv[3]
+state = {"params": res.variables["params"], "epoch": 2}
+save_sharded_state(ckpt_dir, state)
+restored = load_sharded_state(ckpt_dir, state)
+assert restored["epoch"] == 2
+for a, b in zip(jax.tree.leaves(state["params"]),
+                jax.tree.leaves(restored["params"])):
+    ah = multihost_utils.process_allgather(a, tiled=True)
+    bh = multihost_utils.process_allgather(b, tiled=True)
+    assert np.array_equal(ah, bh)
 print("MULTIHOST_OK", pid, err_y, err_dx, res.records[-1, 1], flush=True)
 """
 
@@ -109,9 +126,10 @@ def test_two_process_group(tmp_path):
     env.setdefault("PYTHONPATH", "")
     env["PYTHONPATH"] = f"/root/repo:{env['PYTHONPATH']}"
 
+    ckpt_dir = str(tmp_path / "mh_ckpt")
     procs = [
         subprocess.Popen(
-            [sys.executable, str(worker), addr, str(pid)],
+            [sys.executable, str(worker), addr, str(pid), ckpt_dir],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
         )
