@@ -53,6 +53,7 @@ def round_up(x: int, m: int) -> int:
         "deg_in",
         "dense_adj",
         "plans",
+        "plans_norm",
     ],
     meta_fields=["n_node", "n_edge"],
 )
@@ -84,6 +85,14 @@ class Graph:
     #: optional (fwd, transposed) ops.spmm_pallas.SegmentMatmulPlan pair for
     #: the Pallas SpMM path (built host-side via build_graph(with_plans=True))
     plans: Optional[tuple] = None
+    #: optional plan pair with the DGL 'both' degree normalization BAKED
+    #: into the edge weights (w'_e = deg_in[dst]^-1/2 * w_e *
+    #: deg_out[src]^-1/2, degrees clamped >= 1); spmm_normalized then runs
+    #: one SpMM with no pre/post scale passes. NOTE measured perf-neutral
+    #: at arxiv scale (+0.04 ms/layer fwd+bwd): XLA already fuses the two
+    #: [N, d] scale passes into the adjacent elementwise chains. Opt-in
+    #: (build_graph(with_norm_plans=True)) as an API convenience only.
+    plans_norm: Optional[tuple] = None
     n_node: int = 0
     n_edge: int = 0
 
@@ -96,6 +105,8 @@ class Graph:
         dense_t = None if self.dense_adj is None else self.dense_adj.T
         inv = jnp.argsort(self.t_from_fwd)
         plans_t = None if self.plans is None else (self.plans[1], self.plans[0])
+        plans_norm_t = (None if self.plans_norm is None
+                        else (self.plans_norm[1], self.plans_norm[0]))
         return Graph(
             senders=self.senders_t,
             receivers=self.receivers_t,
@@ -108,6 +119,7 @@ class Graph:
             deg_in=self.deg_out,
             dense_adj=dense_t,
             plans=plans_t,
+            plans_norm=plans_norm_t,
             n_node=self.n_node,
             n_edge=self.n_edge,
         )
@@ -137,7 +149,7 @@ class Graph:
             )
         return dataclasses.replace(
             self, edge_weight=w, edge_weight_t=w_t, dense_adj=dense,
-            plans=None,
+            plans=None, plans_norm=None,
         )
 
 
@@ -227,6 +239,7 @@ def build_graph(
     dense_threshold: int = 8192,
     with_dense: Optional[bool] = None,
     with_plans: bool = False,
+    with_norm_plans: bool = False,
 ) -> Graph:
     """Build the device Graph from a host edge list.
 
@@ -286,10 +299,30 @@ def build_graph(
         dense = jnp.asarray(dense_np)
 
     plans = None
+    plans_norm = None
     if with_plans:
         from ..ops.spmm_pallas import build_plans
 
         plans = build_plans(e, n_node, w)
+        if with_norm_plans:
+            # Bake the DGL 'both' normalization (GCN.py:205-250 semantics,
+            # degrees clamped >= 1) into a second weight set. The chunk
+            # layout is a function of the edge structure only, so the
+            # index/metadata arrays are shared with `plans` — only the
+            # per-edge weights differ. Computed in f64 host-side.
+            dl = np.clip(deg_out.astype(np.float64), 1.0, None) ** -0.5
+            dr = np.clip(deg_in.astype(np.float64), 1.0, None) ** -0.5
+            wn = (dr[e[1]] * w.astype(np.float64) * dl[e[0]]).astype(
+                np.float32)
+            pn = build_plans(e, n_node, wn)
+            plans_norm = tuple(
+                dataclasses.replace(
+                    pni, senders=pi.senders, dst_local=pi.dst_local,
+                    block_of_chunk=pi.block_of_chunk,
+                    first_of_block=pi.first_of_block,
+                )
+                for pi, pni in zip(plans, pn)
+            )
 
     return Graph(
         senders=senders,
@@ -303,6 +336,7 @@ def build_graph(
         deg_in=jnp.asarray(deg_in),
         dense_adj=dense,
         plans=plans,
+        plans_norm=plans_norm,
         n_node=n_node,
         n_edge=n_edge,
     )

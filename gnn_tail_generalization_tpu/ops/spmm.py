@@ -37,7 +37,9 @@ the SDDMM ``dw_e = dy[dst_e] . x[src_e]``.
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -173,10 +175,25 @@ def _seg_bwd(method, precision, res, dy):
 spmm_edge_grad.defvjp(_seg_fwd, _seg_bwd)
 
 
+def _norm_baked_graph(g) -> Optional[Graph]:
+    """The graph with 'both'-normalized weights baked into its Pallas plans
+    (graph/core.py build_graph(with_norm_plans=True)), if the Pallas path
+    would actually be taken — else None. Lets callers skip the pre/post
+    degree-scale passes entirely (one baked SpMM == D_in^-1/2 A D_out^-1/2)."""
+    if (isinstance(g, Graph) and g.plans_norm is not None
+            and g.dense_adj is None):
+        return dataclasses.replace(g, plans=g.plans_norm, plans_norm=None)
+    return None
+
+
 def spmm_normalized(g: Graph, x, norm: str = "both", method: str = "auto"):
     """DGL-style degree-normalized aggregation used by the GCN conv:
     ``D_in^-1/2 A D_out^-1/2 x`` for 'both' (GNN_model/GCN.py:205-250),
     degrees clamped to >= 1. 'left' / 'right' use 1/deg on one side."""
+    if norm == "both" and method in ("auto", "pallas", "pallas_bf16"):
+        gn = _norm_baked_graph(g)
+        if gn is not None:
+            return spmm(gn, x, method)
     if norm in ("left", "both"):
         d = jnp.clip(g.deg_out, 1.0, None)
         scale = d**-0.5 if norm == "both" else 1.0 / d

@@ -93,6 +93,37 @@ def test_spmm_normalized_matches_manual(rng):
     np.testing.assert_allclose(np.asarray(y), expect, rtol=1e-4, atol=1e-4)
 
 
+def test_spmm_normalized_baked_plans(rng):
+    """with_norm_plans=True bakes D_in^-1/2 A D_out^-1/2 into the Pallas
+    plan weights; spmm_normalized then runs ONE SpMM with no elementwise
+    scale passes — fwd and grad must match the explicit gather path."""
+    n, e = 50, 260
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    g = core.build_graph(np.stack([src, dst]), n, with_dense=False,
+                         with_plans=True, with_norm_plans=True)
+    assert g.plans_norm is not None
+    # index arrays are shared with the unnormalized plans (weights differ)
+    assert g.plans_norm[0].senders is g.plans[0].senders
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    ct = rng.normal(size=(n, 8)).astype(np.float32)
+
+    dout = np.maximum(np.bincount(src, minlength=n), 1).astype(np.float64)
+    din = np.maximum(np.bincount(dst, minlength=n), 1).astype(np.float64)
+    a = np.zeros((n, n))
+    np.add.at(a, (dst, src), 1.0)
+    ahat = din[:, None] ** -0.5 * a * dout[None, :] ** -0.5
+
+    y = spmm_normalized(g, jnp.asarray(x), "both")
+    np.testing.assert_allclose(np.asarray(y), ahat @ x, rtol=1e-4, atol=1e-4)
+
+    dx = jax.grad(
+        lambda x: jnp.vdot(spmm_normalized(g, x, "both"), jnp.asarray(ct))
+    )(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(dx), ahat.T @ ct,
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_spmm_jit_under_vmap_free(rng):
     g, dense = random_graph(rng, with_dense=False)
     x = jnp.asarray(rng.normal(size=(50, 16)).astype(np.float32))
