@@ -300,6 +300,8 @@ def build_graph(
 
     plans = None
     plans_norm = None
+    if with_norm_plans:
+        with_plans = True  # norm plans share the base plans' index arrays
     if with_plans:
         from ..ops.spmm_pallas import build_plans
 

@@ -187,7 +187,11 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
                 # receivers) — weights ride along — so a second plan built
                 # with f32-encoded gid+1 as weights lands every edge's gid
                 # in exactly the slot its weight occupies. Exact for
-                # E < 2^24 (f32 integer range).
+                # E < 2^24 (f32 integer range). Known inefficiency: this
+                # doubles host-side plan construction per bucket; the
+                # layout-agnostic alternative (build_plan returning its
+                # slot permutation, incl. from the C++ path) is a one-time
+                # build cost, deferred.
                 gid = rest[0]
                 assert len(gid) == 0 or gid.max() + 1 < 2 ** 24
                 gp = build_plan(sl[order], rl[order],
@@ -447,6 +451,10 @@ class _EdgeView:
         assert g.has_edge_view, (
             "DistGraph was built without with_edge_view=True — rebuild it "
             "(data.prepare_sharded does this when cfg.apply_graph_dropout)")
+        assert g.edge_src_perm is not None, (
+            "edge view requires the FORWARD DistGraph: transpose() drops "
+            "the src-sorted permutation and its edge list is no longer "
+            "dst-sorted (mask samplers run sorted segment sums over it)")
         self.senders = g.edge_src
         self.receivers = g.edge_dst
         self.edge_weight = g.edge_w

@@ -48,15 +48,12 @@ def save_sharded_state(dirpath: str, state: Any, *,
     sharded analog; this is the TPU-native equivalent."""
     import orbax.checkpoint as ocp
 
-    path = os.path.abspath(dirpath)
-    if overwrite and os.path.exists(path):
-        import shutil
-
-        # only one process clears; others wait via the barrier inside save
-        if jax.process_index() == 0:
-            shutil.rmtree(path)
+    # force=True delegates overwrite to orbax, which deletes on the primary
+    # host AFTER its save-start barrier — a hand-rolled pre-barrier rmtree
+    # races with other processes' existence checks on non-coherent shared
+    # filesystems (NFS attribute caches etc.)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state)
+    ckptr.save(os.path.abspath(dirpath), state, force=overwrite)
     ckptr.wait_until_finished()
 
 
@@ -110,12 +107,21 @@ def save_train_state(path: str, *, params, opt_state=None, batch_stats=None,
         sharded = _needs_sharded_io(state)
     if sharded:
         save_sharded_state(_sharded_dir(path), state)
+        # drop a stale msgpack from an earlier single-host run at the same
+        # path, or load_train_state could later prefer the older file
+        if jax.process_index() == 0 and os.path.exists(path):
+            os.remove(path)
     else:
         save_pytree(state, path)
 
 
 def load_train_state(path: str, template: dict) -> dict:
     d = _sharded_dir(path)
-    if os.path.isdir(d) and not os.path.exists(path):
+    has_dir, has_file = os.path.isdir(d), os.path.exists(path)
+    if has_dir and has_file:
+        # both formats present (e.g. a single-host msgpack run and a later
+        # sharded run sharing a save dir): newest wins
+        has_dir = os.path.getmtime(d) > os.path.getmtime(path)
+    if has_dir:
         return load_sharded_state(d, template)
     return load_pytree(template, path)

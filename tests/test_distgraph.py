@@ -344,6 +344,46 @@ def test_save_train_state_sharded_routing(rng, tmp_path):
                                   np.asarray(params["se"]))
 
 
+def test_train_state_format_collision_newest_wins(rng, tmp_path):
+    """When a msgpack file and an orbax dir share a path stem: a sharded
+    save removes the stale msgpack, a later msgpack save wins by being
+    newer, and a further sharded save force-overwrites the existing orbax
+    dir — load_train_state always restores the newest state."""
+    import os
+    import time
+
+    from gnn_tail_generalization_tpu.parallel.distgraph import shard_params
+    from gnn_tail_generalization_tpu.train.checkpoint import (
+        load_train_state, save_train_state,
+    )
+
+    mesh = _mesh(4)
+    path = str(tmp_path / "t.msgpack")
+
+    def params(seed):
+        return {"se": jnp.asarray(
+            np.random.default_rng(seed).normal(size=(16, 4)).astype(
+                np.float32))}
+
+    tmpl = {"params": params(0), "epoch": 0}
+    save_train_state(path, params=params(1), epoch=1, sharded=False)
+    save_train_state(path, params=shard_params(mesh, params(2)), epoch=2,
+                     sharded=True)
+    assert not os.path.exists(path)  # stale msgpack removed
+    assert load_train_state(path, tmpl)["epoch"] == 2
+
+    time.sleep(0.05)  # mtime separation on coarse filesystems
+    save_train_state(path, params=params(3), epoch=3, sharded=False)
+    loaded = load_train_state(path, tmpl)  # newer msgpack beats orbax dir
+    assert loaded["epoch"] == 3
+    np.testing.assert_array_equal(np.asarray(loaded["params"]["se"]),
+                                  np.asarray(params(3)["se"]))
+
+    save_train_state(path, params=shard_params(mesh, params(4)), epoch=4,
+                     sharded=True)  # force-overwrites the existing dir
+    assert load_train_state(path, tmpl)["epoch"] == 4
+
+
 def test_dist_spmm_bf16_packed_ring(rng):
     """compute_dtype=bfloat16 routes each ring step through the packed-pair
     kernel (d > 128 -> packing); tolerance vs dense at bf16 operands."""
