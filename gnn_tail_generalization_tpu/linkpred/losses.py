@@ -1,41 +1,72 @@
-"""Link-prediction losses (/root/reference/Link_prediction_model/loss.py:4-30)."""
+"""Link-prediction losses (/root/reference/Link_prediction_model/loss.py:4-30).
+
+Every loss takes an optional ``valid`` weight vector (one per positive
+edge, broadcast over that edge's negatives). The train loop uses it to
+zero out wrap-filled entries of the final partial batch so a positive
+edge never contributes gradient twice per epoch while the step keeps one
+static shape (the reference's drop_last=False DataLoader trains a true
+partial batch, model.py:144). Mean-type losses renormalize by the number
+of valid rows so gradient scale matches a true partial batch.
+"""
 from __future__ import annotations
 
 import jax.numpy as jnp
 from jax.nn import sigmoid
 
 
-def auc_loss(pos_out, neg_out, num_neg):
+def _valid_col(valid, n_rows):
+    if valid is None:
+        return jnp.ones((n_rows, 1))
+    return valid.reshape(-1, 1)
+
+
+def auc_loss(pos_out, neg_out, num_neg, valid=None):
     pos = pos_out.reshape(-1, 1)
     neg = neg_out.reshape(-1, num_neg)
-    return jnp.sum(jnp.square(1 - (pos - neg)))
+    v = _valid_col(valid, pos.shape[0])
+    return jnp.sum(v * jnp.square(1 - (pos - neg)))
 
 
-def adaptive_auc_loss(pos_out, neg_out, num_neg, weight):
+def adaptive_auc_loss(pos_out, neg_out, num_neg, weight, valid=None):
     w = weight.reshape(-1, 1)
     pos = pos_out.reshape(-1, 1)
     neg = neg_out.reshape(-1, num_neg)
-    return jnp.sum(w * jnp.square(1 - (pos - neg)))
+    v = _valid_col(valid, pos.shape[0])
+    return jnp.sum(v * w * jnp.square(1 - (pos - neg)))
 
 
-def log_rank_loss(pos_out, neg_out, num_neg):
+def log_rank_loss(pos_out, neg_out, num_neg, valid=None):
     pos = pos_out.reshape(-1, 1)
     neg = neg_out.reshape(-1, num_neg)
-    return -jnp.mean(jnp.log(sigmoid(pos - neg) + 1e-15))
+    v = _valid_col(valid, pos.shape[0])
+    terms = v * jnp.log(sigmoid(pos - neg) + 1e-15)
+    return -jnp.sum(terms) / jnp.maximum(jnp.sum(v) * num_neg, 1.0)
 
 
-def ce_loss(pos_out, neg_out):
-    pos_loss = -jnp.mean(jnp.log(sigmoid(pos_out) + 1e-15))
-    neg_loss = -jnp.mean(jnp.log(1 - sigmoid(neg_out) + 1e-15))
+def ce_loss(pos_out, neg_out, valid=None, num_neg: int = 1):
+    pos = pos_out.reshape(-1)
+    if valid is None:
+        pos_loss = -jnp.mean(jnp.log(sigmoid(pos) + 1e-15))
+        neg_loss = -jnp.mean(jnp.log(1 - sigmoid(neg_out) + 1e-15))
+        return pos_loss + neg_loss
+    v = valid.reshape(-1)
+    denom = jnp.maximum(jnp.sum(v), 1.0)
+    pos_loss = -jnp.sum(v * jnp.log(sigmoid(pos) + 1e-15)) / denom
+    vneg = jnp.repeat(v, num_neg, total_repeat_length=v.shape[0] * num_neg)
+    neg = neg_out.reshape(-1)
+    neg_loss = (-jnp.sum(vneg * jnp.log(1 - sigmoid(neg) + 1e-15))
+                / jnp.maximum(jnp.sum(vneg), 1.0))
     return pos_loss + neg_loss
 
 
-def info_nce_loss(pos_out, neg_out, num_neg):
+def info_nce_loss(pos_out, neg_out, num_neg, valid=None):
     pos = pos_out.reshape(-1, 1)
     neg = neg_out.reshape(-1, num_neg)
+    v = _valid_col(valid, pos.shape[0])
     pos_exp = jnp.exp(pos)
     neg_exp = jnp.sum(jnp.exp(neg), axis=1, keepdims=True)
-    return -jnp.mean(jnp.log(pos_exp / (pos_exp + neg_exp) + 1e-15))
+    terms = v * jnp.log(pos_exp / (pos_exp + neg_exp) + 1e-15)
+    return -jnp.sum(terms) / jnp.maximum(jnp.sum(v), 1.0)
 
 
 LOSSES = {

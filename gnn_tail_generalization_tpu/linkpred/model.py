@@ -111,18 +111,21 @@ class LinkPredModel(nn.Module):
         return self.predict(h, src, dst, train=train)
 
 
-def compute_loss(cfg: LinkPredConfig, pos_out, neg_out, margin=None):
-    """calculate_loss (model.py:108-119)."""
+def compute_loss(cfg: LinkPredConfig, pos_out, neg_out, margin=None,
+                 valid=None):
+    """calculate_loss (model.py:108-119). ``valid`` masks wrap-filled
+    entries of the final partial batch (losses.py docstring)."""
     name = cfg.loss_func
     if name == "ce_loss":
-        return L.ce_loss(pos_out, neg_out)
+        return L.ce_loss(pos_out, neg_out, valid=valid, num_neg=cfg.num_neg)
     if name == "info_nce_loss":
-        return L.info_nce_loss(pos_out, neg_out, cfg.num_neg)
+        return L.info_nce_loss(pos_out, neg_out, cfg.num_neg, valid=valid)
     if name == "log_rank_loss":
-        return L.log_rank_loss(pos_out, neg_out, cfg.num_neg)
+        return L.log_rank_loss(pos_out, neg_out, cfg.num_neg, valid=valid)
     if name == "adaptive_auc_loss" and margin is not None:
-        return L.adaptive_auc_loss(pos_out, neg_out, cfg.num_neg, margin)
-    return L.auc_loss(pos_out, neg_out, cfg.num_neg)
+        return L.adaptive_auc_loss(pos_out, neg_out, cfg.num_neg, margin,
+                                   valid=valid)
+    return L.auc_loss(pos_out, neg_out, cfg.num_neg, valid=valid)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +203,7 @@ class Logger:
 
 
 def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
-    def loss_fn(params, c, pos_edge, neg_edge, rng):
+    def loss_fn(params, c, pos_edge, neg_edge, rng, valid):
         h = model.apply(
             {"params": params}, c["g"], c["x"], train=True,
             rngs={"dropout": rng}, method=model.encode,
@@ -216,12 +219,12 @@ def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
             train=True, rngs={"dropout": jax.random.fold_in(rng, 2)},
             method=model.predict,
         )
-        return compute_loss(cfg, pos_out, neg_out)
+        return compute_loss(cfg, pos_out, neg_out, valid=valid)
 
     @jax.jit
-    def step(params, opt_state, c, pos_edge, neg_edge, rng):
+    def step(params, opt_state, c, pos_edge, neg_edge, rng, valid):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, c, pos_edge, neg_edge, rng
+            params, c, pos_edge, neg_edge, rng, valid
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -360,14 +363,17 @@ def train_linkpred(
             nb = 0
             # every positive edge is visited each epoch: the final partial
             # batch is wrap-filled from the permutation's start so the step
-            # keeps one static shape (the reference's DataLoader keeps
-            # drop_last=False partial batches, model.py:144)
+            # keeps one static shape, but the wrapped entries' loss is
+            # masked to zero — matching the reference's drop_last=False
+            # partial batch (model.py:144), which never duplicates edges
             for s0 in range(0, n_pos, bsz):
-                sel = perm[(s0 + np.arange(bsz)) % n_pos]
+                idx = s0 + np.arange(bsz)
+                sel = perm[idx % n_pos]
+                valid = jnp.asarray((idx < n_pos).astype(np.float32))
                 params, opt_state, loss = step(
                     params, opt_state, const,
                     jnp.asarray(pos_train[sel]), neg[sel],
-                    jax.random.fold_in(k_ep, s0),
+                    jax.random.fold_in(k_ep, s0), valid,
                 )
                 total_loss += float(loss)
                 nb += 1

@@ -165,4 +165,5 @@ def masked_graph(g: Graph, mask: jax.Array, t_from_fwd: jax.Array) -> Graph:
         deg_out=jax.lax.stop_gradient(deg_out),
         dense_adj=None,
         plans=None,  # plans bake the pre-mask weights — must not survive
+        plans_norm=None,  # norm plans additionally bake pre-mask degrees
     )

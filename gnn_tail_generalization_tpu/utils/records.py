@@ -60,15 +60,43 @@ class TensorRex:
 
     def record(self, cell: Sequence[int], values: np.ndarray) -> None:
         """Persist a finished cell. Values longer than record_len are
-        truncated, shorter ones zero-filled (main.py:100-116 tolerance)."""
+        truncated, shorter ones zero-filled (main.py:100-116 tolerance).
+
+        Concurrent-writer safe: the on-disk grid is re-read and merged
+        (done cells from disk win over our stale in-memory zeros) under an
+        exclusive lock, then replaced atomically — two ``--prog`` processes
+        filling different cells of one shared rex cannot lose each other's
+        finished cells."""
         v = np.asarray(values, dtype=float).reshape(-1)
         out = np.zeros(self.record_len + 1)
         n = min(len(v), self.record_len)
         out[:n] = v[:n]
         out[-1] = 1.0
-        self.arr[tuple(cell)] = out
         os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
-        np.save(self.path, self.arr)
+        import fcntl
+        import tempfile
+
+        with open(self.path + ".lock", "w") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                if os.path.exists(self.path):
+                    on_disk = np.load(self.path)
+                    if on_disk.shape == self.arr.shape:
+                        done = on_disk[..., -1] != 0
+                        self.arr[done] = on_disk[done]
+                self.arr[tuple(cell)] = out
+                fd, tmp = tempfile.mkstemp(
+                    dir=os.path.dirname(self.path) or ".", suffix=".npy")
+                try:
+                    with os.fdopen(fd, "wb") as f:
+                        np.save(f, self.arr)
+                    os.replace(tmp, self.path)
+                except BaseException:
+                    if os.path.exists(tmp):
+                        os.unlink(tmp)
+                    raise
+            finally:
+                fcntl.flock(lockf, fcntl.LOCK_UN)
 
     def values(self, cell: Sequence[int]) -> np.ndarray:
         return self.arr[tuple(cell)][:-1]
