@@ -21,3 +21,31 @@ Layer map (mirrors SURVEY.md section 7):
 """
 
 __version__ = "0.1.0"
+
+
+def _disable_numpy_thp_madvise():
+    """Turn off numpy's MADV_HUGEPAGE on large allocations.
+
+    On hosts with ``transparent_hugepage/defrag = [madvise]`` (this image),
+    numpy's hugepage madvise makes every first touch of a fresh large
+    buffer run SYNCHRONOUS memory compaction — measured ~85 ms per 2 MB
+    region here, i.e. numpy streaming at 10-50 MB/s while plain C runs at
+    ~1.3 GB/s. Host-side graph preprocessing (plan builds, bucket fills,
+    edge expansions) is exactly such fresh-buffer streaming, so this
+    single switch is worth ~100x on those paths (RESULTS.md). Set
+    GNN_TPU_KEEP_NUMPY_THP=1 to keep numpy's default."""
+    import os
+
+    if os.environ.get("GNN_TPU_KEEP_NUMPY_THP"):
+        return
+    try:
+        try:
+            from numpy._core import multiarray as _ma  # numpy >= 2
+        except ImportError:  # pragma: no cover - numpy 1.x
+            from numpy.core import multiarray as _ma
+        _ma._set_madvise_hugepage(False)
+    except Exception:  # pragma: no cover - private API may move
+        pass
+
+
+_disable_numpy_thp_madvise()

@@ -170,6 +170,19 @@ class Config:
     bug-compatible behavior; True actually rewires aggregation via edge-weight
     masks."""
     spmm_method: str = "auto"  # auto | dense | gather | pallas
+    optimize_final_layer_agg: bool = True
+    """Train-step optimization: restrict the FINAL conv's aggregation to
+    rows inside the loss mask (graph/core.loss_masked_view) — the other
+    output rows never reach the NLL, so dropping them leaves loss and
+    gradients mathematically identical while removing up to (1 -
+    train_frac) of the last layer's fwd+bwd SpMM rows (the step's measured
+    bound, RESULTS.md). Auto-disabled by train/loops.py whenever anything
+    row-coupling consumes the full last-layer output (edgewise loss,
+    cross-row norms, graph dropout, DistGraph)."""
+    final_agg_plan_rb: int = 128
+    """Row-block size for the loss-masked view's Pallas plan. Measured on
+    v5e at arxiv scale: rb=128 beats 256/512 — the kernel's one-hot matmul
+    FLOPs grow with rb faster than the pad-to-eb rounding shrinks."""
     bug_compat_trainmode_headtail_eval: bool = False
     """The reference evaluates head/tail/iso inside run_trainSet with dropout
     active (trainer_node_classification.py:397-415). Default: eval mode."""

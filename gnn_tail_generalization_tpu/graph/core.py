@@ -240,6 +240,8 @@ def build_graph(
     with_dense: Optional[bool] = None,
     with_plans: bool = False,
     with_norm_plans: bool = False,
+    plan_rb: int = 128,
+    plan_eb: int = 1024,
 ) -> Graph:
     """Build the device Graph from a host edge list.
 
@@ -305,7 +307,7 @@ def build_graph(
     if with_plans:
         from ..ops.spmm_pallas import build_plans
 
-        plans = build_plans(e, n_node, w)
+        plans = build_plans(e, n_node, w, rb=plan_rb, eb=plan_eb)
         if with_norm_plans:
             # Bake the DGL 'both' normalization (GCN.py:205-250 semantics,
             # degrees clamped >= 1) into a second weight set. The chunk
@@ -316,7 +318,7 @@ def build_graph(
             dr = np.clip(deg_in.astype(np.float64), 1.0, None) ** -0.5
             wn = (dr[e[1]] * w.astype(np.float64) * dl[e[0]]).astype(
                 np.float32)
-            pn = build_plans(e, n_node, wn)
+            pn = build_plans(e, n_node, wn, rb=plan_rb, eb=plan_eb)
             plans_norm = tuple(
                 dataclasses.replace(
                     pni, senders=pi.senders, dst_local=pi.dst_local,
@@ -342,6 +344,50 @@ def build_graph(
         n_node=n_node,
         n_edge=n_edge,
     )
+
+
+def loss_masked_view(
+    g: Graph,
+    edge_index: np.ndarray,
+    dst_mask: np.ndarray,
+    edge_weight: Optional[np.ndarray] = None,
+    *,
+    plan_rb: int = 128,
+    plan_eb: int = 1024,
+    with_dense: Optional[bool] = None,
+    with_plans: Optional[bool] = None,
+) -> Graph:
+    """A final-layer training view of ``g``: only edges whose destination is
+    inside ``dst_mask`` are kept, but the degree arrays (i.e. the GCN
+    normalization, GCN.py:205-250) stay those of the FULL graph.
+
+    Rationale (TPU-first): when only loss-masked rows of the last conv's
+    output feed the loss (NLL over the train mask), aggregating the other
+    rows is dead compute — the gradient of the step is mathematically
+    identical with them dropped, and the row-gather emitter is the measured
+    bound of the step (RESULTS.md), so the final layer's fwd+bwd SpMMs
+    shrink proportionally to the mask. Rows outside the mask aggregate to
+    zero — the returned view must ONLY be used when nothing row-coupling
+    (cross-row norms, edgewise losses, collect_SE) consumes them.
+
+    ``edge_index``/``edge_weight`` are the HOST arrays ``g`` was built from
+    (plans must be built from host data — see ops/spmm_pallas.build_plans).
+    """
+    e = _as_np(edge_index)
+    m = np.asarray(dst_mask, bool)
+    keep = m[e[1]]
+    e_sub = e[:, keep]
+    w_sub = None if edge_weight is None else np.asarray(edge_weight)[keep]
+    if with_dense is None:
+        with_dense = g.dense_adj is not None
+    if with_plans is None:
+        with_plans = g.plans is not None
+    sub = build_graph(
+        e_sub, g.n_node, w_sub,
+        with_dense=with_dense, with_plans=with_plans,
+        plan_rb=plan_rb, plan_eb=plan_eb,
+    )
+    return dataclasses.replace(sub, deg_out=g.deg_out, deg_in=g.deg_in)
 
 
 def subgraph_edges(

@@ -61,15 +61,18 @@ class TeacherGNN(nn.Module):
             self.proj2class = None
 
     def __call__(self, g: Graph, x, *, train: bool = False,
-                 want_les: bool = False):
-        """Returns (commonEmb, emb4classi_full, se_reg_all, les)."""
+                 want_les: bool = False, g_last: Graph | None = None):
+        """Returns (commonEmb, emb4classi_full, se_reg_all, les).
+
+        ``g_last``: optional loss-masked final-layer view
+        (graph/core.loss_masked_view) — train-mode perf optimization."""
         c = self.cfg
         if c.TeacherGNN.change_to_featureless:
             x = x * 0
         if c.dim_learnable_input > 0:
             x = self.input_embs
         common, se_reg_all, les = self.backbone(
-            g, x, train=train, want_les=want_les
+            g, x, train=train, want_les=want_les, g_last=g_last
         )
         if self.proj2class is not None:
             classi = self.proj2class(common, train=train)

@@ -68,6 +68,12 @@ def _load():
     lib.ring_buckets.argtypes = [
         i64p, i64p, f32p, c64, c64, c64, c64, i32p, i32p, f32p
     ]
+    lib.edge_graph_num_pairs.argtypes = [i64p, i64p, c64, c64]
+    lib.edge_graph_num_pairs.restype = c64
+    lib.edge_graph_pairs.argtypes = [
+        i64p, i64p, c64, c64, ctypes.c_uint64, i64p, i64p
+    ]
+    lib.edge_graph_pairs.restype = c64
     _lib = lib
     return lib
 
@@ -113,6 +119,26 @@ def segment_matmul_plan_arrays(senders_sorted, receivers_sorted,
     lib.segment_matmul_plan(s, r, w, n_edge, n_node, rb, eb,
                             out_s, out_d, out_w, out_b, out_f)
     return out_s, out_d, out_w, out_b, out_f, n_chunks
+
+
+def edge_graph_pair_arrays(src, dst, max_degree: int | None, seed: int):
+    """Native all-pairs edge-graph expansion (linkpred/edge_lp.py):
+    returns the full [2, m + n_pairs] int64 edge-graph index (m self loops
+    followed by all ordered distinct scored-edge pairs sharing an
+    endpoint), or None when the library is unavailable. The whole output
+    is assembled in C — zero numpy copies."""
+    lib = _load()
+    if lib is None:
+        return None
+    s = np.ascontiguousarray(src, np.int64)
+    d = np.ascontiguousarray(dst, np.int64)
+    m = len(s)
+    cap = 0 if max_degree is None else int(max_degree)
+    n_pairs = int(lib.edge_graph_num_pairs(s, d, m, cap))  # upper bound
+    out = np.empty((2, m + n_pairs), np.int64)
+    written = int(lib.edge_graph_pairs(
+        s, d, m, cap, ctypes.c_uint64(seed).value, out[0], out[1]))
+    return out[:, :written]
 
 
 def ring_bucket_arrays(senders, receivers, weights, rows_per_shard: int,

@@ -132,4 +132,97 @@ void ring_buckets(const int64_t* senders, const int64_t* receivers,
   }
 }
 
+// ---- edge-graph expansion (linkpred/edge_lp.py:build_edge_graph) --------
+//
+// Two scored edges are adjacent iff they share an endpoint; per node the
+// incident edge set (optionally uniformly subsampled to max_degree with a
+// splitmix-style per-node generator) expands to all ordered distinct
+// pairs. Python/numpy is the fallback; this path exists because the
+// expansion is pure memory streaming that numpy does ~100x slower than C
+// on some hosts (measured in RESULTS.md).
+
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ULL;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ULL;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebULL;
+  return x ^ (x >> 31);
+}
+
+// Pass 1: number of ordered distinct pairs (excl. self loops) with the cap
+// applied. max_degree <= 0 means uncapped.
+int64_t edge_graph_num_pairs(const int64_t* src, const int64_t* dst,
+                             int64_t m, int64_t max_degree) {
+  int64_t n = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    if (src[i] + 1 > n) n = src[i] + 1;
+    if (dst[i] + 1 > n) n = dst[i] + 1;
+  }
+  std::vector<int64_t> counts(n, 0);
+  for (int64_t i = 0; i < m; ++i) { counts[src[i]]++; counts[dst[i]]++; }
+  int64_t pairs = 0;
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t k = counts[v];
+    if (max_degree > 0 && k > max_degree) k = max_degree;
+    pairs += k * (k - 1);
+  }
+  return pairs;
+}
+
+// Pass 2: fill out_a/out_b (int64[m + n_pairs]) with m self loops followed
+// by the pair expansion; returns the number of entries actually written
+// (m + true pairs — edge_graph_num_pairs is an upper bound: a scored
+// self-edge occupies two slots of its node's incidence list but must not
+// pair with itself). int64 output and in-C self loops keep the Python
+// side free of numpy copies (this image's numpy streams at ~10-50 MB/s).
+int64_t edge_graph_pairs(const int64_t* src, const int64_t* dst, int64_t m,
+                         int64_t max_degree, uint64_t seed, int64_t* out_a,
+                         int64_t* out_b) {
+  for (int64_t i = 0; i < m; ++i) { out_a[i] = i; out_b[i] = i; }
+  out_a += m;
+  out_b += m;
+  int64_t n = 0;
+  for (int64_t i = 0; i < m; ++i) {
+    if (src[i] + 1 > n) n = src[i] + 1;
+    if (dst[i] + 1 > n) n = dst[i] + 1;
+  }
+  std::vector<int64_t> row_ptr(n + 1, 0);
+  for (int64_t i = 0; i < m; ++i) { row_ptr[src[i] + 1]++; row_ptr[dst[i] + 1]++; }
+  for (int64_t v = 0; v < n; ++v) row_ptr[v + 1] += row_ptr[v];
+  std::vector<int32_t> inc(row_ptr[n]);
+  std::vector<int64_t> cur(row_ptr.begin(), row_ptr.end() - 1);
+  for (int64_t i = 0; i < m; ++i) {
+    inc[cur[src[i]]++] = (int32_t)i;
+    inc[cur[dst[i]]++] = (int32_t)i;
+  }
+  int64_t p = 0;
+  std::vector<int32_t> grp;
+  for (int64_t v = 0; v < n; ++v) {
+    int64_t k = row_ptr[v + 1] - row_ptr[v];
+    int32_t* g = inc.data() + row_ptr[v];
+    if (max_degree > 0 && k > max_degree) {
+      // partial Fisher-Yates with a per-(seed, node) generator: the first
+      // max_degree slots become a uniform sample without replacement
+      uint64_t s = mix64(seed ^ (uint64_t)v * 0x9e3779b97f4a7c15ULL);
+      for (int64_t t = 0; t < max_degree; ++t) {
+        s = mix64(s);
+        int64_t j = t + (int64_t)(s % (uint64_t)(k - t));
+        std::swap(g[t], g[j]);
+      }
+      k = max_degree;
+    }
+    for (int64_t i = 0; i < k; ++i) {
+      int32_t a = g[i];
+      for (int64_t j = 0; j < k; ++j) {
+        // compare VALUES: a scored self-edge (u == v) sits twice in its
+        // node's incidence list and must not pair with itself
+        if (a == g[j]) continue;
+        out_a[p] = a;
+        out_b[p] = g[j];
+        ++p;
+      }
+    }
+  }
+  return m + p;
+}
+
 }  // extern "C"

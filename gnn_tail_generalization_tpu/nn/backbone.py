@@ -36,6 +36,7 @@ import jax.numpy as jnp
 
 from ..graph.core import Graph
 from . import graph_dropout as gd
+from .dropout import FastDropout
 from .gcn import GCNConv
 from .norms import NormLayer, norm_applies, norm_kind_of, groupnorm_presets
 from .residual import DenseConnection, initial_connection, residual_connection
@@ -97,12 +98,17 @@ class TricksCombBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x, *, train: bool = False,
-                 want_les: bool = False):
+                 want_les: bool = False, g_last: Optional[Graph] = None):
         res_mlp = self.has_residual_mlp
         kind, skip_w, n_groups = self._norm_cfg()
 
         # --- per-layer graphs (graph-dropout tricks) ---
         graphs = [g] * self.num_layers
+        if g_last is not None and train and not want_les:
+            # loss-masked final-layer view (graph/core.loss_masked_view):
+            # the caller guarantees nothing row-coupling consumes the
+            # masked-out rows (train/loops.py gates)
+            graphs[-1] = g_last
         if self.apply_graph_dropout and train:
             rng = self.make_rng("graph_dropout")
             masks = gd.per_layer_edge_masks(
@@ -117,7 +123,10 @@ class TricksCombBackbone(nn.Module):
         se_reg_all = None
 
         def drop(x):
-            return nn.Dropout(self.dropout, deterministic=not train)(x)
+            # halfword-threshold dropout (nn/dropout.py): same Bernoulli
+            # marginals, 2x fewer random bits — the mask generation is
+            # milliseconds per step at full-graph scale
+            return FastDropout(self.dropout)(x, deterministic=not train)
 
         if res_mlp:
             x = drop(x)  # embedding_dropout == args.dropout (GCN.py:24)

@@ -45,7 +45,15 @@ class GCNConv(nn.Module):
             nn.initializers.xavier_uniform(),  # torch init.xavier_uniform_
             (x.shape[-1], self.out_feats),
         )
-        h = jnp.matmul(h, w, precision=jax.lax.Precision.HIGHEST)
+        if self.spmm_method == "pallas_bf16":
+            # the aggregation path already rounds h to bf16 (packed-pair
+            # SpMM operands), so running the dense matmul with bf16
+            # operands + f32 accumulation is precision-consistent and
+            # skips the 6-pass f32-HIGHEST emulation on the MXU
+            h = jnp.matmul(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+        else:
+            h = jnp.matmul(h, w, precision=jax.lax.Precision.HIGHEST)
 
         se_reg = None
         if self.has_se:

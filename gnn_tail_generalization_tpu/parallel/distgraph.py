@@ -439,6 +439,35 @@ def dist_spmm(g: DistGraph, x: jax.Array,
     return f(x, *operands)
 
 
+def dist_take_rows(g: DistGraph, h: jax.Array, idx: jax.Array) -> jax.Array:
+    """Replicated gather of a FEW rows from a row-sharded [n_node_pad, d]
+    array: each device contributes its local rows (others zero) and one
+    psum over the graph axis assembles the full [K, d] result on every
+    device. The TPU-native answer to 'DistMult needs rows of ``common``
+    for sampled (src, dst) pairs' (edgewise aux loss under sharding,
+    trainer_node_classification.py:435-563): K is a few thousand, so the
+    psum moves K*d floats instead of all-gathering the embedding table."""
+    axis = g.axis
+    rows = g.rows_per_shard
+    m_axis = g.model_axis
+    if m_axis is not None and h.shape[1] % g.mesh.shape[m_axis] != 0:
+        m_axis = None
+
+    @partial(
+        shard_map, mesh=g.mesh, in_specs=(P(axis, m_axis), P()),
+        out_specs=P(None, m_axis), check_vma=False,
+    )
+    def f(h_local, idx):
+        k = jax.lax.axis_index(axis)
+        local = idx.astype(jnp.int32) - k * rows
+        ok = (local >= 0) & (local < rows)
+        safe = jnp.clip(local, 0, rows - 1)
+        vals = jnp.where(ok[:, None], h_local[safe], 0.0)
+        return jax.lax.psum(vals, axis)
+
+    return f(h, idx)
+
+
 class _EdgeView:
     """Duck-typed Graph view over the canonical global edge list — exactly
     the attribute surface nn/graph_dropout's mask samplers touch (senders /

@@ -47,15 +47,20 @@ class EdgewisePlan:
 
 def build_edgewise_plan(cfg: Config, data: PreparedData) -> EdgewisePlan:
     e = data.edge_index
-    tm = data.train_mask
+    # sharded PreparedData carries device/padded masks and padded x — pull
+    # the (tiny) mask to host and use the graph's REAL node count so
+    # negatives never hit padding rows
+    tm = np.asarray(data.train_mask)
+    n_node = getattr(data.graph, "n_node", None) or data.n_node
+    tm = tm[:n_node]
     both_train = tm[e[0]] & tm[e[1]]
     both_test = (~tm)[e[0]] & (~tm)[e[1]]
     return EdgewisePlan(
         train_edges=e[:, both_train],
         test_edges=e[:, both_test],
-        keys_sorted=sampling.edge_keys(e, data.n_node),
+        keys_sorted=sampling.edge_keys(e, n_node),
         train_mask=tm,
-        n_node=data.n_node,
+        n_node=n_node,
         samp_size_p=cfg.samp_size_p,
         samp_size_n_train=cfg.samp_size_n_train,
         samp_size_n_test=cfg.samp_size_p * cfg.samp_size_n_test_times_p,
@@ -139,11 +144,16 @@ def edgewise_consts(plan: EdgewisePlan):
     }
 
 
-def make_edgewise_loss_fn(plan: EdgewisePlan):
+def make_edgewise_loss_fn(plan: EdgewisePlan, dist_graph=None):
     """Returns f(h, rng, mode, ew) -> (loss, mrr), fully jittable; ``ew``
     is the edgewise_consts(plan) dict passed through the step arguments.
     ``h``: full node embeddings (commonEmb — trainer:418 uses the unmasked
-    embedding). Only static plan SIZES are closed over."""
+    embedding). Only static plan SIZES are closed over.
+
+    ``dist_graph``: a parallel.distgraph.DistGraph when ``h`` is
+    row-sharded — the sampled pair rows are then assembled with ONE psum
+    of [4K, d] floats (dist_take_rows) instead of letting GSPMD
+    all-gather the whole embedding table for four tiny gathers."""
 
     def f(h, rng, mode: str, ew):
         edges = ew["train_edges"] if mode == "train" else ew["test_edges"]
@@ -158,8 +168,17 @@ def make_edgewise_loss_fn(plan: EdgewisePlan):
             k2, ew["keys_sorted"], ew["train_mask"], ew["train_idx"],
             ew["test_idx"], plan.n_node, n_neg, mode
         )
-        pos = edge_dot(h[pos_src], h[pos_dst])
-        neg = edge_dot(h[neg_src], h[neg_dst])
+        if dist_graph is not None:
+            from ..parallel.distgraph import dist_take_rows
+
+            p = plan.samp_size_p
+            idx = jnp.concatenate([pos_src, pos_dst, neg_src, neg_dst])
+            rows = dist_take_rows(dist_graph, h, idx)
+            pos = edge_dot(rows[:p], rows[p: 2 * p])
+            neg = edge_dot(rows[2 * p: 2 * p + n_neg], rows[2 * p + n_neg:])
+        else:
+            pos = edge_dot(h[pos_src], h[pos_dst])
+            neg = edge_dot(h[neg_src], h[neg_dst])
         return linkp_loss_eva(pos, neg)
 
     return f

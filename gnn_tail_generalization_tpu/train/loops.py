@@ -74,7 +74,10 @@ def _nll_masked(logits, y, mask):
     lsm = jax.nn.log_softmax(logits, axis=1)
     picked = jnp.take_along_axis(lsm, y[:, None], axis=1)[:, 0]
     m = mask.astype(jnp.float32)
-    return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+    # where (not *0) so masked-out rows can hold non-finite garbage — e.g.
+    # the zero rows of a loss_masked_view produce -inf log-softmax entries
+    picked = jnp.where(mask, picked, 0.0)
+    return -jnp.sum(picked) / jnp.maximum(jnp.sum(m), 1.0)
 
 
 # ---------------------------------------------------------------------------
@@ -122,19 +125,36 @@ def train_teacher(
             const["zero"] = zero
 
     model = TeacherGNN(cfg)
+    # Loss-masked final-layer aggregation (Config.optimize_final_layer_agg):
+    # valid only when the train-mode last-conv output reaches the loss
+    # exclusively through the row-masked NLL — i.e. no edgewise loss, no
+    # cross-row norm trick, no graph dropout (which rewires per-layer
+    # graphs itself), single-device graph, and a real nodewise loss.
+    if (cfg.optimize_final_layer_agg and dist_mesh is None
+            and cfg.has_loss_component_nodewise
+            and not cfg.has_loss_component_edgewise
+            and not cfg.apply_graph_dropout):
+        from ..nn.norms import norm_applies
+
+        if not norm_applies(cfg.type_trick):
+            from ..graph.core import loss_masked_view
+
+            const["g_last"] = loss_masked_view(
+                data.graph, data.edge_index, data.train_mask,
+                plan_rb=cfg.final_agg_plan_rb,
+            )
     ew_fn = None
     if cfg.has_loss_component_edgewise:
-        if dist_mesh is not None:
-            raise NotImplementedError(
-                "the edgewise (I2_GTL) auxiliary loss builds its plan from "
-                "host arrays and is not supported with a sharded DistGraph "
-                "yet — run it single-device")
         from .edgewise import (
             build_edgewise_plan, edgewise_consts, make_edgewise_loss_fn,
         )
 
+        # sharded: the DistMult pair rows are assembled via ONE [4K, d]
+        # psum (parallel/distgraph.dist_take_rows) — the plan itself is
+        # host data either way
         _ew_plan = build_edgewise_plan(cfg, data)
-        ew_fn = make_edgewise_loss_fn(_ew_plan)
+        ew_fn = make_edgewise_loss_fn(
+            _ew_plan, dist_graph=data.graph if dist_mesh is not None else None)
         const["ew"] = edgewise_consts(_ew_plan)
     root = jax.random.PRNGKey(seed)
     k_init, k_run = jax.random.split(root)
@@ -181,7 +201,8 @@ def train_teacher(
         rngs = {"dropout": rng, "graph_dropout": jax.random.fold_in(rng, 1)}
         mutable = ["batch_stats"] if batch_stats is not None else []
         out, new_vars = model.apply(
-            vs, c["g"], c["x"], train=True, rngs=rngs, mutable=mutable
+            vs, c["g"], c["x"], train=True, rngs=rngs, mutable=mutable,
+            g_last=c.get("g_last"),
         )
         common, classi, se_reg_all, _ = out
         loss = 0.0
@@ -429,9 +450,11 @@ def train_semlp_part1(
 # ---------------------------------------------------------------------------
 
 
-def _dense_adj_pow(data: PreparedData, r: int) -> np.ndarray:
-    """GraphMLP's A_tilde^r as dense [N, N] (graphUtils.normalize_adj +
-    sparse_power, utils.py:1225-1248). Host-side scipy; requires moderate N."""
+def _sparse_adj_pow(data: PreparedData, r: int):
+    """GraphMLP's A_tilde^r as a scipy CSR (graphUtils.normalize_adj +
+    sparse_power, utils.py:1225-1248). The reference stays sparse at scale
+    (utils.py:1242-1248) — so do we; the train loop crops [B, B] blocks
+    per batch host-side and ships only those to the device."""
     import scipy.sparse as sp
 
     from ..graph.core import add_self_loops, remove_self_loops
@@ -444,11 +467,22 @@ def _dense_adj_pow(data: PreparedData, r: int) -> np.ndarray:
     )
     d = np.asarray(a.sum(axis=1)).reshape(-1)
     dinv = sp.diags(d**-0.5)
-    at = dinv @ a @ dinv
+    at = (dinv @ a @ dinv).tocsr()
     out = at
     for _ in range(r - 1):
         out = out @ at
-    return np.asarray(out.todense(), np.float32)
+    return out.tocsr().astype(np.float32)
+
+
+def _dense_adj_pow(data: PreparedData, r: int) -> np.ndarray:
+    """Dense [N, N] materialization of _sparse_adj_pow for small graphs
+    (one [B, B] gather inside jit beats per-step host crops there)."""
+    return np.asarray(_sparse_adj_pow(data, r).todense(), np.float32)
+
+
+def adj_pow_crop(adj_csr, bidx: np.ndarray) -> np.ndarray:
+    """Dense [B, B] block A^r[bidx][:, bidx] from the sparse power."""
+    return np.asarray(adj_csr[bidx][:, bidx].todense(), np.float32)
 
 
 def train_semlp_part2(
@@ -484,22 +518,36 @@ def train_semlp_part2(
         part1 = None
         const["se"] = jnp.zeros((1, 1))
 
+    sparse_adj = None
     if is_graphmlp:
-        const["adj_pow"] = jnp.asarray(_dense_adj_pow(data, cfg.graphMLP_r))
+        if data.n_node <= 8192:
+            const["adj_pow"] = jnp.asarray(
+                _dense_adj_pow(data, cfg.graphMLP_r))
+        else:
+            # at scale the [N, N] power is infeasible dense (114 GB at
+            # arxiv N) — keep it sparse host-side and ship per-batch
+            # [B, B] crops (reference stays sparse too, utils.py:1242-1248)
+            sparse_adj = _sparse_adj_pow(data, cfg.graphMLP_r)
 
     model = GraphMLP(cfg) if is_graphmlp else SEMLPPart2(cfg)
     root = jax.random.PRNGKey(seed + 2)
     k_init, k_run = jax.random.split(root)
 
-    def fwd(params2, c, bidx, rng, train):
-        """Returns (logits, aux_loss)."""
+    def fwd(params2, c, bidx, rng, train, crop=None):
+        """Returns (logits, aux_loss). ``crop``: precomputed [B, B]
+        adjacency-power block (sparse at-scale path); defaults to the
+        in-jit gather from the dense const."""
         xb = c["x"][bidx]
         rngs = {"dropout": rng} if train else None
         if is_graphmlp:
             logits, z = model.apply(
                 {"params": params2}, xb, train=train, rngs=rngs
             )
-            crop = c["adj_pow"][bidx][:, bidx]
+            if not train:
+                # NContrast only enters the train loss (trainer:156-158)
+                return logits, 0.0
+            if crop is None:
+                crop = c["adj_pow"][bidx][:, bidx]
             nc = neighbor_contrastive_loss(z, crop, cfg.graphMLP_tau)
             return logits, nc * cfg.graphMLP_reg
         if part1 is not None:
@@ -566,13 +614,13 @@ def train_semlp_part2(
         else []
     )
 
-    @jax.jit
-    def step(params2, opt_state, rng, c):
+    def step_body(params2, opt_state, rng, c, bidx=None, crop=None):
         kb, kd, ke = jax.random.split(rng, 3)
-        bidx = sample(kb, c["train_idx"])
+        if bidx is None:
+            bidx = sample(kb, c["train_idx"])
 
         def loss_fn(p2):
-            logits, aux = fwd(p2, c, bidx, kd, train=True)
+            logits, aux = fwd(p2, c, bidx, kd, train=True, crop=crop)
             lsm = jax.nn.log_softmax(logits, axis=1)
             ce = -jnp.mean(
                 jnp.take_along_axis(lsm, c["y"][bidx][:, None], axis=1)
@@ -598,10 +646,27 @@ def train_semlp_part2(
                           for c2 in cols])
         return params2, opt_state, mvec
 
+    step = jax.jit(lambda p, o, r, c: step_body(p, o, r, c))
+    step_crop = jax.jit(
+        lambda p, o, r, c, bidx, crop: step_body(p, o, r, c, bidx, crop))
+
+    # sparse-adjacency path: batches drawn host-side so the [B, B]
+    # adjacency-power block can be cropped from the scipy CSR per step
+    host_rng = np.random.default_rng(seed * 7919 + 17)
+    train_idx_h = np.asarray(data.train_idx)
+
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
-        params2, opt_state, m = step(params2, opt_state, k, const)
+        if sparse_adj is not None:
+            bidx_np = train_idx_h[
+                host_rng.integers(0, len(train_idx_h), bsz)]
+            crop = adj_pow_crop(sparse_adj, bidx_np)
+            params2, opt_state, m = step_crop(
+                params2, opt_state, k, const,
+                jnp.asarray(bidx_np), jnp.asarray(crop))
+        else:
+            params2, opt_state, m = step(params2, opt_state, k, const)
         records[epoch] = np.asarray(m)
         if log_every and epoch % log_every == 0:
             print(f"p2 Ep{epoch:03d} " + " ".join(

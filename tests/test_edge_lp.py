@@ -71,3 +71,78 @@ def test_linkpred_with_edge_lp_modes(rng):
                                  elp_num_propagations=2)
         out = lpm.train_linkpred(cfg, None, e, n, epochs=1, runs=1)
         assert "Hits@20" in out["last_results"], mode
+
+
+def _build_edge_graph_loop(scored_edges, max_degree=None, seed=0):
+    """The pre-round-3 per-node Python loop — kept as the semantics oracle
+    for the vectorized build_edge_graph."""
+    edges = np.asarray(scored_edges, np.int64)
+    m = edges.shape[0]
+    nodes = np.concatenate([edges[:, 0], edges[:, 1]])
+    eids = np.concatenate([np.arange(m), np.arange(m)])
+    order = np.argsort(nodes, kind="stable")
+    nodes, eids = nodes[order], eids[order]
+    bounds = np.flatnonzero(np.diff(nodes)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(nodes)]])
+    rng = np.random.default_rng(seed)
+    src_list, dst_list = [np.arange(m)], [np.arange(m)]
+    for s, t in zip(starts, ends):
+        grp = eids[s:t]
+        if max_degree is not None and len(grp) > max_degree:
+            grp = rng.choice(grp, max_degree, replace=False)
+        k = len(grp)
+        if k < 2:
+            continue
+        a = np.repeat(grp, k)
+        b = np.tile(grp, k)
+        keep = a != b
+        src_list.append(a[keep])
+        dst_list.append(b[keep])
+    return np.stack([np.concatenate(src_list), np.concatenate(dst_list)])
+
+
+def _pair_multiset(eg):
+    return np.sort(eg[0] * (eg.max() + 1) + eg[1])
+
+
+def test_build_edge_graph_vectorized_matches_loop():
+    rng = np.random.default_rng(5)
+    edges = rng.integers(0, 40, (300, 2))
+    fast = edge_lp.build_edge_graph(edges)
+    slow = _build_edge_graph_loop(edges)
+    # multiset equality (the edge-graph consumer sorts/coalesces anyway)
+    np.testing.assert_array_equal(_pair_multiset(fast),
+                                  _pair_multiset(slow))
+
+
+def test_build_edge_graph_max_degree_cap():
+    rng = np.random.default_rng(6)
+    # hub node 0 touches many edges
+    edges = np.stack([np.zeros(500, np.int64),
+                      rng.integers(1, 400, 500)], axis=1)
+    eg = edge_lp.build_edge_graph(edges, max_degree=16, seed=1)
+    # per-node contribution is capped: <= 16*15 ordered pairs per node
+    n_pairs = eg.shape[1] - 500  # minus self loops
+    assert n_pairs <= 400 * 16 * 15
+    # the cap is a subsample of real incidences: every pair shares a node
+    e = np.asarray(edges)
+    share = ((e[eg[0, 500:], 0] == e[eg[1, 500:], 0])
+             | (e[eg[0, 500:], 0] == e[eg[1, 500:], 1])
+             | (e[eg[0, 500:], 1] == e[eg[1, 500:], 0])
+             | (e[eg[0, 500:], 1] == e[eg[1, 500:], 1]))
+    assert share.all()
+
+
+def test_build_edge_graph_scales():
+    import time
+    rng = np.random.default_rng(7)
+    edges = rng.integers(0, 200_000, (1_000_000, 2))
+    t0 = time.time()
+    eg = edge_lp.build_edge_graph(edges, max_degree=64)
+    dt = time.time() - t0
+    assert eg.shape[0] == 2 and eg.shape[1] >= 1_000_000
+    # native C path: 0.24s measured; numpy fallback 2.4s — both depend on
+    # the package's numpy-THP-madvise fix (gnn_tail_generalization_tpu
+    # __init__), without which this host streams numpy at ~20 MB/s
+    assert dt < 15.0, f"1M-edge build took {dt:.1f}s"

@@ -164,3 +164,24 @@ def test_linkpred_bf16_aggregation_trains(rng):
     out = lpm.train_linkpred(cfg, x, e, n, epochs=3, runs=1, eval_steps=3)
     s = out["stats"]
     assert np.isfinite(s["test_mean"])
+
+
+def test_losses_valid_mask_matches_true_partial_batch():
+    """valid= masking must equal computing the loss on the true (smaller)
+    batch (losses.py)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(3)
+    n, num_neg, n_real = 16, 3, 11
+    pos = jnp.asarray(rng.normal(size=(n,)).astype(np.float32))
+    neg = jnp.asarray(rng.normal(size=(n * num_neg,)).astype(np.float32))
+    valid = jnp.asarray((np.arange(n) < n_real).astype(np.float32))
+    negm = neg.reshape(n, num_neg)[:n_real].reshape(-1)
+    for name, fn in [
+        ("auc", lambda p, ng, v=None: losses.auc_loss(p, ng, num_neg, v)),
+        ("lr", lambda p, ng, v=None: losses.log_rank_loss(p, ng, num_neg, v)),
+        ("nce", lambda p, ng, v=None: losses.info_nce_loss(p, ng, num_neg, v)),
+        ("ce", lambda p, ng, v=None: losses.ce_loss(p, ng, v, num_neg)),
+    ]:
+        masked = float(fn(pos, neg, valid))
+        true = float(fn(pos[:n_real], negm))
+        assert np.isclose(masked, true, rtol=1e-5), (name, masked, true)

