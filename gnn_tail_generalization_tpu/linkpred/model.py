@@ -245,10 +245,13 @@ def train_linkpred(
     log_every: int = 0,
     split_edge: Optional[Dict] = None,
     msg_edges: Optional[np.ndarray] = None,
+    max_steps_per_epoch: Optional[int] = None,
 ) -> Dict[str, Any]:
     """The run x epoch loop of trainer_link_prediction.py:215-431. With
     ``split_edge`` given (e.g. from linkpred/surgery.py transfer settings)
-    the provided split is used; otherwise a random split is made."""
+    the provided split is used; otherwise a random split is made.
+    ``max_steps_per_epoch`` caps minibatches per epoch (benchmarking at
+    ogbl scale; None = the reference's full pass over positives)."""
     if split_edge is None:
         split_edge, msg_edges = simple_split_edges(edge_index, n_node,
                                                    seed=seed)
@@ -291,11 +294,30 @@ def train_linkpred(
     step = make_train_step(cfg, model, tx)
 
     @jax.jit
-    def predict_all(params, c, edges):
-        h = model.apply({"params": params}, c["g"], c["x"], train=False,
-                        method=model.encode)
+    def encode_all(params, c):
+        return model.apply({"params": params}, c["g"], c["x"], train=False,
+                           method=model.encode)
+
+    @jax.jit
+    def predict_chunk(params, h, edges):
         return model.apply({"params": params}, h, edges[:, 0], edges[:, 1],
                            train=False, method=model.predict)
+
+    def predict_chunked(params, h, edges, chunk: int = 64 * 1024):
+        """batch_predict (model.py:172-185): fixed-size chunks so one
+        program serves every split; the encode runs ONCE per evaluation
+        (reference encodes once in test(), model.py:187) — at ogbl scale a
+        whole-split gather would materialize [E, d] tens-of-GB
+        intermediates and re-encode per split."""
+        edges = np.asarray(edges)
+        m = len(edges)
+        if m <= chunk:
+            return predict_chunk(params, h, jnp.asarray(edges))
+        outs = []
+        for s0 in range(0, m, chunk):
+            idx = (s0 + np.arange(chunk)) % m  # wrap-pad: one static shape
+            outs.append(predict_chunk(params, h, jnp.asarray(edges[idx])))
+        return jnp.concatenate(outs)[:m]
 
     if cfg.encoder in ("CN", "AA", "PPR"):
         # heuristic short-circuit (model.py:122-124,176-178): no training;
@@ -377,10 +399,12 @@ def train_linkpred(
                 )
                 total_loss += float(loss)
                 nb += 1
+                if max_steps_per_epoch and nb >= max_steps_per_epoch:
+                    break
 
             if (epoch + 1) % eval_steps == 0:
                 results = evaluate(cfg, model, params, const, split_edge,
-                                   predict_all)
+                                   encode_all, predict_chunked)
                 key = list(results.keys())[0]
                 vals = results[key]
                 logger.add_result(run, vals[-2:])
@@ -394,11 +418,15 @@ def train_linkpred(
             "split_edge": split_edge}
 
 
-def evaluate(cfg, model, params, const, split_edge, predict_all):
+def evaluate(cfg, model, params, const, split_edge, encode_all,
+             predict_chunked):
     """model.test (model.py:187-266) incl. the optional edge-level LP
-    post-processing (208-239)."""
+    post-processing (208-239). Encodes ONCE, scores each split in
+    fixed-size chunks."""
+    h_eval = encode_all(params, const)
+
     def scores(edges):
-        return predict_all(params, const, jnp.asarray(np.asarray(edges)))
+        return predict_chunked(params, h_eval, np.asarray(edges))
 
     pos_val = scores(split_edge["valid"]["edge"])
     neg_val = scores(split_edge["valid"]["edge_neg"])
@@ -423,9 +451,7 @@ def evaluate(cfg, model, params, const, split_edge, predict_all):
                  len(neg_val), len(neg_test)]
         n_pos_total = sizes[0] + sizes[1] + sizes[2]
         if cfg.edge_lp_mode == "emb":
-            h = model.apply({"params": params}, const["g"], const["x"],
-                            train=False, method=model.encode)
-            out = elp.run_emb_lp(all_edges, h, cfg.elp_alpha,
+            out = elp.run_emb_lp(all_edges, h_eval, cfg.elp_alpha,
                                  cfg.elp_num_propagations)
         else:
             logits = jnp.concatenate(

@@ -185,3 +185,39 @@ def test_losses_valid_mask_matches_true_partial_batch():
         masked = float(fn(pos, neg, valid))
         true = float(fn(pos[:n_real], negm))
         assert np.isclose(masked, true, rtol=1e-5), (name, masked, true)
+
+
+def test_predict_chunked_matches_whole():
+    """batch_predict chunking (model.py:172-185 parity): chunked scoring
+    must equal one-shot scoring."""
+    rng = np.random.default_rng(4)
+    n = 80
+    e = rng.integers(0, n, (2, 300))
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    cfg = lpm.LinkPredConfig(encoder="SAGE", predictor="DOT",
+                             batch_size=64)
+    out = lpm.train_linkpred(cfg, x, e, n, epochs=1, runs=1)
+    params = out["params"]
+    model = lpm.LinkPredModel(cfg, n, 8)
+    from gnn_tail_generalization_tpu.graph.core import symmetrize
+    g = core.build_graph(
+        symmetrize(np.asarray(out["split_edge"]["train"]["edge"]).T, n), n)
+    const = {"g": g, "x": jnp.asarray(x)}
+    h = model.apply({"params": params}, const["g"], const["x"],
+                    train=False, method=model.encode)
+    edges = np.asarray(out["split_edge"]["valid"]["edge_neg"])[:50]
+
+    def predict(es):
+        return model.apply({"params": params}, h, jnp.asarray(es[:, 0]),
+                           jnp.asarray(es[:, 1]), train=False,
+                           method=model.predict)
+
+    whole = np.asarray(predict(edges))
+    # chunked with wrap-pad, chunk smaller than the set
+    chunk = 16
+    outs = []
+    for s0 in range(0, len(edges), chunk):
+        idx = (s0 + np.arange(chunk)) % len(edges)
+        outs.append(np.asarray(predict(edges[idx])))
+    chunked = np.concatenate(outs)[: len(edges)]
+    np.testing.assert_allclose(chunked, whole, rtol=1e-6)
