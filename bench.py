@@ -95,17 +95,15 @@ def make_framework_step(cfg, pd):
     opt_state = tx.init(params)
 
     const = {"g": g, "x": x, "y": y, "mask": mask}
+    # the framework's own gate builds (or refuses) the loss-masked
+    # final-layer view — one source of truth with train_teacher
     from gnn_tail_generalization_tpu.graph.core import Graph
+    from gnn_tail_generalization_tpu.train.loops import final_agg_view
 
-    if cfg.optimize_final_layer_agg and isinstance(pd.graph, Graph):
-        # same loss-masked final-layer view the framework's train_teacher
-        # builds (train/loops.py gating; mathematically identical step)
-        from gnn_tail_generalization_tpu.graph.core import loss_masked_view
-
-        const["g_last"] = loss_masked_view(
-            pd.graph, pd.edge_index, pd.train_mask,
-            plan_rb=cfg.final_agg_plan_rb,
-        )
+    g_last = (final_agg_view(cfg, pd, is_dist=not isinstance(pd.graph, Graph))
+              if cfg.optimize_final_layer_agg else None)
+    if g_last is not None:
+        const["g_last"] = g_last
 
     def loss_fn(params, rng, c):
         _, classi, se_reg_all, _ = model.apply(

@@ -242,6 +242,7 @@ def build_graph(
     with_norm_plans: bool = False,
     plan_rb: int = 128,
     plan_eb: int = 1024,
+    lean: bool = False,
 ) -> Graph:
     """Build the device Graph from a host edge list.
 
@@ -251,6 +252,12 @@ def build_graph(
     ``dense_threshold``: graphs with ``n_node <= dense_threshold`` also get a
     dense [N, N] adjacency so the SpMM can run as one MXU matmul. Override
     with ``with_dense``.
+
+    ``lean=True`` (requires ``with_plans``): store ZERO-length COO edge
+    arrays — the Pallas plans fully determine aggregation in both
+    directions, and at ogbl scale the 7 [E_pad] COO arrays are ~0.9 GB of
+    dead HBM + tunnel transfer. Anything needing per-edge views (gather
+    fallback, edge masking, spmm_edge_grad) must use a non-lean graph.
     """
     e = _as_np(edge_index)
     n_edge = e.shape[1]
@@ -279,18 +286,26 @@ def build_graph(
             jnp.asarray(w, jnp.float32),
         )
 
-    order_f = np.argsort(e[1], kind="stable")
-    order_t = np.argsort(e[0], kind="stable")
-    senders, receivers, ew = sorted_padded(e[0], e[1], w, order_f)
-    # transposed view: reversed edges sorted by their destination (= original
-    # senders)
-    senders_t, receivers_t, ew_t = sorted_padded(e[1], e[0], w, order_t)
-    # permutation: edge_weight_t == edge_weight[t_from_fwd]
-    inv_order_f = np.empty(n_edge, dtype=np.int64)
-    inv_order_f[order_f] = np.arange(n_edge)
-    t_from_fwd = np.concatenate(
-        [inv_order_f[order_t], np.arange(n_edge, e_pad, dtype=np.int64)]
-    )
+    if lean:
+        assert with_plans, "lean graphs carry plans only"
+        z = jnp.zeros((0,), jnp.int32)
+        zf = jnp.zeros((0,), jnp.float32)
+        senders = receivers = senders_t = receivers_t = z
+        ew = ew_t = zf
+        t_from_fwd = np.zeros((0,), np.int64)
+    else:
+        order_f = np.argsort(e[1], kind="stable")
+        order_t = np.argsort(e[0], kind="stable")
+        senders, receivers, ew = sorted_padded(e[0], e[1], w, order_f)
+        # transposed view: reversed edges sorted by their destination
+        # (= original senders)
+        senders_t, receivers_t, ew_t = sorted_padded(e[1], e[0], w, order_t)
+        # permutation: edge_weight_t == edge_weight[t_from_fwd]
+        inv_order_f = np.empty(n_edge, dtype=np.int64)
+        inv_order_f[order_f] = np.arange(n_edge)
+        t_from_fwd = np.concatenate(
+            [inv_order_f[order_t], np.arange(n_edge, e_pad, dtype=np.int64)]
+        )
 
     if with_dense is None:
         with_dense = n_node <= dense_threshold

@@ -268,10 +268,12 @@ def train_linkpred(
         w = gcn_norm_weights(e2, n_node)
         g = build_graph(e2, n_node, edge_weight=w,
                         with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096)
+                        with_plans=n_node > 4096,
+                        lean=n_node > 1_000_000)
     else:
         g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096)
+                        with_plans=n_node > 4096,
+                        lean=n_node > 1_000_000)
 
     num_feats = 0 if x is None else x.shape[1]
     model = LinkPredModel(cfg, n_node, num_feats)
@@ -369,18 +371,28 @@ def train_linkpred(
 
         for epoch in range(epochs):
             k_ep = jax.random.fold_in(k_run, epoch)
-            if cfg.neg_sampler == "global":
-                neg = sampling.global_neg_sample(
-                    k_ep, keys_sorted, n_node, n_pos, cfg.num_neg)
-            elif cfg.neg_sampler == "local":
-                neg = sampling.local_neg_sample(
-                    k_ep, jnp.asarray(pos_train), n_node, cfg.num_neg)
-            else:
-                neg = sampling.global_perm_neg_sample(
-                    k_ep, keys_sorted, n_node, n_pos, cfg.num_neg)
-
             perm = np.random.default_rng(seed * 1000 + epoch).permutation(
                 n_pos)
+            # capped epochs (benchmarking): only draw negatives for the
+            # positives actually visited — negatives then pair with batch
+            # POSITIONS (perm prefix) instead of positive indices, which
+            # is distributionally identical for the iid samplers
+            n_draw = n_pos
+            if max_steps_per_epoch:
+                n_draw = min(n_pos, max_steps_per_epoch * bsz)
+                perm = perm[:n_draw]
+            pos_for_local = pos_train if n_draw == n_pos else \
+                pos_train[perm]
+            if cfg.neg_sampler == "global":
+                neg = sampling.global_neg_sample(
+                    k_ep, keys_sorted, n_node, n_draw, cfg.num_neg)
+            elif cfg.neg_sampler == "local":
+                neg = sampling.local_neg_sample(
+                    k_ep, jnp.asarray(pos_for_local), n_node, cfg.num_neg)
+            else:
+                neg = sampling.global_perm_neg_sample(
+                    k_ep, keys_sorted, n_node, n_draw, cfg.num_neg)
+
             total_loss = 0.0
             nb = 0
             # every positive edge is visited each epoch: the final partial
@@ -388,19 +400,21 @@ def train_linkpred(
             # keeps one static shape, but the wrapped entries' loss is
             # masked to zero — matching the reference's drop_last=False
             # partial batch (model.py:144), which never duplicates edges
-            for s0 in range(0, n_pos, bsz):
+            for s0 in range(0, n_draw, bsz):
                 idx = s0 + np.arange(bsz)
-                sel = perm[idx % n_pos]
-                valid = jnp.asarray((idx < n_pos).astype(np.float32))
+                pos_i = idx % n_draw
+                sel = perm[pos_i]
+                # uncapped: negatives are per-positive (neg[sel], the
+                # original pairing); capped: per-position (neg[pos_i])
+                nsel = sel if n_draw == n_pos else pos_i
+                valid = jnp.asarray((idx < n_draw).astype(np.float32))
                 params, opt_state, loss = step(
                     params, opt_state, const,
-                    jnp.asarray(pos_train[sel]), neg[sel],
+                    jnp.asarray(pos_train[sel]), neg[nsel],
                     jax.random.fold_in(k_ep, s0), valid,
                 )
                 total_loss += float(loss)
                 nb += 1
-                if max_steps_per_epoch and nb >= max_steps_per_epoch:
-                    break
 
             if (epoch + 1) % eval_steps == 0:
                 results = evaluate(cfg, model, params, const, split_edge,
@@ -432,7 +446,13 @@ def evaluate(cfg, model, params, const, split_edge, encode_all,
     neg_val = scores(split_edge["valid"]["edge_neg"])
     pos_test = scores(split_edge["test"]["edge"])
     neg_test = scores(split_edge["test"]["edge_neg"])
-    pos_train = scores(split_edge["train"]["edge"])
+    # train positives are consumed only by recall_my and the edge-LP
+    # guidance — at citation2 scale they are ~15M edges, half of every
+    # evaluation if scored unconditionally
+    need_train = (cfg.eval_metric.startswith("recall_my")
+                  or cfg.edge_lp_mode in ("logit", "xmc", "emb"))
+    pos_train = (scores(split_edge["train"]["edge"]) if need_train
+                 else jnp.zeros((0,)))
     neg_train = neg_val  # reference uses fresh global negs; reuse eval negs
 
     if cfg.edge_lp_mode in ("logit", "xmc", "emb"):

@@ -73,11 +73,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+#: default HBM budget for ONE materialized gather stream: plans whose
+#: padded edge count exceeds this split into block-aligned pieces that
+#: gather + reduce sequentially (piece_bounds). 6M rows x 512B = ~3 GB —
+#: at ogbl-citation2 scale one unsplit gather would be 24 GB (> HBM), and
+#: the citation2 train step measured 17.35G/15.75G at a 12M budget.
+DEFAULT_MAX_GATHER_ROWS = 6_000_000
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["senders", "dst_local", "weights", "block_of_chunk",
                  "first_of_block"],
-    meta_fields=["n_node", "n_blocks", "n_chunks", "rb", "eb"],
+    meta_fields=["n_node", "n_blocks", "n_chunks", "rb", "eb",
+                 "piece_bounds", "piece_block_bounds"],
 )
 @dataclass(frozen=True)
 class SegmentMatmulPlan:
@@ -93,6 +102,31 @@ class SegmentMatmulPlan:
     n_chunks: int
     rb: int
     eb: int
+    #: static piece split for huge plans: chunk boundaries (len pieces+1,
+    #: starting 0 ending n_chunks) and the matching block boundaries.
+    #: Empty tuples = single piece. Pieces cut ONLY at row-block
+    #: boundaries so each piece owns a disjoint contiguous output range.
+    piece_bounds: tuple = ()
+    piece_block_bounds: tuple = ()
+
+
+def _piece_split(boc_host: np.ndarray, n_chunks: int, n_blocks: int,
+                 eb: int, max_rows: Optional[int]):
+    """Static piece boundaries (chunk idx, block idx) cut at row-block
+    boundaries so each piece writes a disjoint contiguous output range."""
+    if max_rows is None or n_chunks * eb <= max_rows:
+        return (), ()
+    per = max(1, max_rows // eb)
+    bounds = [0]
+    c = 0
+    while c < n_chunks:
+        c2 = min(c + per, n_chunks)
+        while c2 < n_chunks and boc_host[c2] == boc_host[c2 - 1]:
+            c2 += 1  # never cut inside a block (output-revisit safety)
+        bounds.append(c2)
+        c = c2
+    blocks = [int(boc_host[b]) for b in bounds[:-1]] + [n_blocks]
+    return tuple(bounds), tuple(blocks)
 
 
 def build_plan(
@@ -102,6 +136,7 @@ def build_plan(
     n_node: int,
     rb: int = 128,
     eb: int = 1024,
+    max_gather_rows: Optional[int] = -1,
 ) -> SegmentMatmulPlan:
     """Edges MUST be sorted by receiver. Pads each row block's edge list to a
     multiple of eb.
@@ -110,7 +145,14 @@ def build_plan(
     pallas operands whose s32/f32 tile is 1024 elements (Mosaic rejects
     smaller blocks, and (1, eb)/[n_chunks, eb] reshapes hit the 8x128
     2-D tile rule — both measured on v5e). The ~13% edge padding at arxiv
-    scale is the price of that tile constraint."""
+    scale is the price of that tile constraint.
+
+    ``max_gather_rows``: plans above this padded edge count get static
+    piece boundaries; spmm_via_plan then gathers + reduces piece by piece
+    so the materialized [E_pad, 128] stream never exceeds the HBM budget
+    (at ogbl-citation2 scale one unsplit gather is 24 GB)."""
+    if max_gather_rows == -1:  # resolve at call time (testable)
+        max_gather_rows = DEFAULT_MAX_GATHER_ROWS
     s = np.asarray(senders_sorted, np.int64)
     r = np.asarray(receivers_sorted, np.int64)
     w = (np.ones(len(s), np.float32) if weights is None
@@ -125,6 +167,8 @@ def build_plan(
     nat = _native.segment_matmul_plan_arrays(s, r, w, n_node, rb, eb)
     if nat is not None:
         out_s, out_d, out_w, out_b, out_f, n_chunks = nat
+        pb, pbb = _piece_split(out_b, n_chunks, n_blocks, eb,
+                               max_gather_rows)
         return SegmentMatmulPlan(
             senders=jnp.asarray(out_s),
             dst_local=jnp.asarray(out_d),
@@ -136,6 +180,8 @@ def build_plan(
             n_chunks=n_chunks,
             rb=rb,
             eb=eb,
+            piece_bounds=pb,
+            piece_block_bounds=pbb,
         )
 
     block_of_edge = r // rb
@@ -169,6 +215,8 @@ def build_plan(
             ci += 1
     assert ci == n_chunks
 
+    pb, pbb = _piece_split(block_of_chunk, n_chunks, n_blocks, eb,
+                           max_gather_rows)
     return SegmentMatmulPlan(
         senders=jnp.asarray(senders.reshape(-1)),
         dst_local=jnp.asarray(dst_local.reshape(-1)),
@@ -180,6 +228,8 @@ def build_plan(
         n_chunks=n_chunks,
         rb=rb,
         eb=eb,
+        piece_bounds=pb,
+        piece_block_bounds=pbb,
     )
 
 
@@ -347,6 +397,48 @@ def _gather_sliced(x: jax.Array, senders: jax.Array) -> jax.Array:
     return x[senders]
 
 
+def _piece_view(plan: SegmentMatmulPlan, i: int) -> SegmentMatmulPlan:
+    """Piece i as a standalone plan with LOCAL block ids (its output is a
+    disjoint contiguous row range [b0*rb, b1*rb))."""
+    c0, c1 = plan.piece_bounds[i], plan.piece_bounds[i + 1]
+    b0, b1 = plan.piece_block_bounds[i], plan.piece_block_bounds[i + 1]
+    eb = plan.eb
+    return SegmentMatmulPlan(
+        senders=plan.senders[c0 * eb: c1 * eb],
+        dst_local=plan.dst_local[c0 * eb: c1 * eb],
+        weights=plan.weights[c0 * eb: c1 * eb],
+        block_of_chunk=plan.block_of_chunk[c0:c1] - b0,
+        first_of_block=plan.first_of_block[c0:c1],
+        n_node=(b1 - b0) * plan.rb,
+        n_blocks=b1 - b0,
+        n_chunks=c1 - c0,
+        rb=plan.rb,
+        eb=eb,
+    )
+
+
+def _run_piecewise(plan: SegmentMatmulPlan, run):
+    """Execute ``run(sub_plan)`` per piece, SEQUENTIALLY (an optimization
+    barrier ties each piece's gather to the previous piece's output, so
+    XLA's allocator never keeps two [piece_rows, 128] gather streams live
+    at once), and concatenate the disjoint output row ranges."""
+    if not plan.piece_bounds:
+        return run(plan)
+    import dataclasses as _dc
+
+    ys = []
+    token = None
+    for i in range(len(plan.piece_bounds) - 1):
+        p = _piece_view(plan, i)
+        if token is not None:
+            s, _ = jax.lax.optimization_barrier((p.senders, token))
+            p = _dc.replace(p, senders=s)
+        y = run(p)
+        token = y[0, 0]
+        ys.append(y)
+    return jnp.concatenate(ys, axis=0)
+
+
 def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
                   interpret: bool = False,
                   compute_dtype=jnp.float32) -> jax.Array:
@@ -357,7 +449,8 @@ def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
     gather moves 512B 128-lane rows (the emitter sweet spot) and half the
     direct-bf16 HBM bytes; the kernel unpacks in VMEM and the MXU still
     accumulates in f32. ``float32``: 128-lane sliced gathers + plain
-    kernel."""
+    kernel. Plans with piece_bounds gather + reduce piecewise (HBM
+    budget, build_plan docstring)."""
     d = x.shape[-1]
     if compute_dtype == jnp.bfloat16 and d > 128:
         d_pad = _round_up(d, 256)
@@ -366,20 +459,28 @@ def spmm_via_plan(plan: SegmentMatmulPlan, x: jax.Array,
         # pack PER GROUP so each gather operand is its own [N, 128] array:
         # slicing one wide packed array re-fuses into a full-width gather
         # (the emitter then fetches >512B rows — the cliff)
-        gps = tuple(
-            pack_bf16_pairs(x[:, k: k + 256])[plan.senders]
-            for k in range(0, d_pad, 256)
-        )
-        y = segment_matmul_packed(plan, gps, interpret=interpret)
+        packed = tuple(pack_bf16_pairs(x[:, k: k + 256])
+                       for k in range(0, d_pad, 256))
+
+        def run(p):
+            gps = tuple(pk[p.senders] for pk in packed)
+            return segment_matmul_packed(p, gps, interpret=interpret)
+
+        y = _run_piecewise(plan, run)
         return y[: plan.n_node, :d]
     d_pad = _round_up(d, 128)
     if d_pad != d:
         x = jnp.pad(x, ((0, 0), (0, d_pad - d)))
     if compute_dtype != x.dtype:
         x = x.astype(compute_dtype)
-    g = _gather_sliced(x, plan.senders)  # [n_chunks*eb, d_pad]
-    y = segment_matmul(plan, g, interpret=interpret,
-                       compute_dtype=compute_dtype)
+    xc = x
+
+    def run(p):
+        g = _gather_sliced(xc, p.senders)  # [piece_chunks*eb, d_pad]
+        return segment_matmul(p, g, interpret=interpret,
+                              compute_dtype=compute_dtype)
+
+    y = _run_piecewise(plan, run)
     return y[: plan.n_node, :d]
 
 

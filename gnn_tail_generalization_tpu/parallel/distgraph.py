@@ -179,7 +179,10 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
         for j in range(s):
             sl, rl, w, *rest = buckets[k][j]
             order = np.argsort(rl, kind="stable")
-            p = build_plan(sl[order], rl[order], w[order], rows, rb=rb, eb=eb)
+            # no piece splitting: dist_spmm reconstructs plans per ring
+            # step (piece metadata would not survive the stacking anyway)
+            p = build_plan(sl[order], rl[order], w[order], rows, rb=rb,
+                           eb=eb, max_gather_rows=None)
             n_chunks_max = max(n_chunks_max, p.n_chunks)
             row.append(p)
             if with_gids:
@@ -196,7 +199,7 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
                 assert len(gid) == 0 or gid.max() + 1 < 2 ** 24
                 gp = build_plan(sl[order], rl[order],
                                 (gid[order] + 1).astype(np.float32),
-                                rows, rb=rb, eb=eb)
+                                rows, rb=rb, eb=eb, max_gather_rows=None)
                 grow.append(
                     np.asarray(gp.weights).astype(np.int64).astype(np.int32)
                     - 1)

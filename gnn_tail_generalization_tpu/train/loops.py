@@ -85,6 +85,30 @@ def _nll_masked(logits, y, mask):
 # ---------------------------------------------------------------------------
 
 
+def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
+    """The loss-masked final-layer graph (Config.optimize_final_layer_agg)
+    or None. THE single gate for the optimization — valid only when the
+    train-mode last-conv output reaches the loss exclusively through the
+    row-masked NLL: no edgewise loss, no cross-row norm trick, no graph
+    dropout (which rewires per-layer graphs itself), single-device graph,
+    and a real nodewise loss. bench.py uses this same helper."""
+    if not (cfg.optimize_final_layer_agg and not is_dist
+            and cfg.has_loss_component_nodewise
+            and not cfg.has_loss_component_edgewise
+            and not cfg.apply_graph_dropout):
+        return None
+    from ..nn.norms import norm_applies
+
+    if norm_applies(cfg.type_trick):
+        return None
+    from ..graph.core import loss_masked_view
+
+    return loss_masked_view(
+        data.graph, data.edge_index, np.asarray(data.train_mask),
+        plan_rb=cfg.final_agg_plan_rb,
+    )
+
+
 def train_teacher(
     cfg: Config,
     data: PreparedData,
@@ -125,24 +149,9 @@ def train_teacher(
             const["zero"] = zero
 
     model = TeacherGNN(cfg)
-    # Loss-masked final-layer aggregation (Config.optimize_final_layer_agg):
-    # valid only when the train-mode last-conv output reaches the loss
-    # exclusively through the row-masked NLL — i.e. no edgewise loss, no
-    # cross-row norm trick, no graph dropout (which rewires per-layer
-    # graphs itself), single-device graph, and a real nodewise loss.
-    if (cfg.optimize_final_layer_agg and dist_mesh is None
-            and cfg.has_loss_component_nodewise
-            and not cfg.has_loss_component_edgewise
-            and not cfg.apply_graph_dropout):
-        from ..nn.norms import norm_applies
-
-        if not norm_applies(cfg.type_trick):
-            from ..graph.core import loss_masked_view
-
-            const["g_last"] = loss_masked_view(
-                data.graph, data.edge_index, data.train_mask,
-                plan_rb=cfg.final_agg_plan_rb,
-            )
+    g_last = final_agg_view(cfg, data, is_dist=dist_mesh is not None)
+    if g_last is not None:
+        const["g_last"] = g_last
     ew_fn = None
     if cfg.has_loss_component_edgewise:
         from .edgewise import (

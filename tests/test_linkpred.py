@@ -221,3 +221,30 @@ def test_predict_chunked_matches_whole():
         outs.append(np.asarray(predict(edges[idx])))
     chunked = np.concatenate(outs)[: len(edges)]
     np.testing.assert_allclose(chunked, whole, rtol=1e-6)
+
+
+def test_losses_finite_under_jit_at_saturation():
+    """log(sigmoid(x)+eps) naively goes inf under XLA's fused lowering
+    once |score| reaches a few hundred (routine for DOT predictors at
+    ogbl scale — found by the citation2 bench); the stable logaddexp
+    forms must stay finite AND match the naive math at moderate scores."""
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=64).astype(np.float32) * 3)
+    neg = jnp.asarray(rng.normal(size=64 * 3).astype(np.float32) * 3)
+    from jax.nn import sigmoid
+    naive_ce = float(-jnp.mean(jnp.log(sigmoid(pos) + 1e-15))
+                     - jnp.mean(jnp.log(1 - sigmoid(neg) + 1e-15)))
+    assert np.isclose(float(losses.ce_loss(pos, neg)), naive_ce, rtol=1e-5)
+    negm = neg.reshape(64, 3)
+    naive_lr = float(-jnp.mean(jnp.log(sigmoid(pos[:, None] - negm) + 1e-15)))
+    assert np.isclose(float(losses.log_rank_loss(pos, neg, 3)), naive_lr,
+                      rtol=1e-5)
+    pe = jnp.exp(pos[:, None])
+    ne = jnp.sum(jnp.exp(negm), axis=1, keepdims=True)
+    naive_nce = float(-jnp.mean(jnp.log(pe / (pe + ne) + 1e-15)))
+    assert np.isclose(float(losses.info_nce_loss(pos, neg, 3)), naive_nce,
+                      rtol=1e-5)
+    for fn in (lambda: losses.ce_loss(pos * 200, neg * 200),
+               lambda: losses.log_rank_loss(pos * 200, neg * 200, 3),
+               lambda: losses.info_nce_loss(pos * 200, neg * 200, 3)):
+        assert np.isfinite(float(jax.jit(fn)()))

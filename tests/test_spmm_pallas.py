@@ -204,3 +204,28 @@ def test_plan_powerlaw_production_geometry():
     dx_ref = spmm(g.transpose(), ct, "gather")
     np.testing.assert_allclose(np.asarray(dx), np.asarray(dx_ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_piecewise_plan_matches_unsplit():
+    """Plans over the gather HBM budget split into block-aligned pieces
+    (ogbl-scale OOM fix); piecewise execution must be bit-exact."""
+    import jax.numpy as jnp
+    from gnn_tail_generalization_tpu.ops import spmm_pallas as sp
+
+    rng = np.random.default_rng(0)
+    n, e = 600, 4000
+    src = rng.integers(0, n, e)
+    dst = np.sort(rng.integers(0, n, e))
+    w = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, 300)).astype(np.float32)
+    p1 = sp.build_plan(src, dst, w, n, rb=8, eb=1024, max_gather_rows=None)
+    p2 = sp.build_plan(src, dst, w, n, rb=8, eb=1024, max_gather_rows=4096)
+    assert len(p2.piece_bounds) > 2
+    assert p2.piece_bounds[-1] == p2.n_chunks
+    assert p2.piece_block_bounds[-1] == p2.n_blocks
+    for dt in (jnp.float32, jnp.bfloat16):
+        y1 = sp.spmm_via_plan(p1, jnp.asarray(x), interpret=True,
+                              compute_dtype=dt)
+        y2 = sp.spmm_via_plan(p2, jnp.asarray(x), interpret=True,
+                              compute_dtype=dt)
+        assert float(jnp.max(jnp.abs(y1 - y2))) == 0.0
