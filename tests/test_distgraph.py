@@ -554,3 +554,27 @@ def test_dist_take_rows(rng):
     out = jax.jit(lambda h, i: dgm.dist_take_rows(g, h, i))(
         hd, jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(out), h[idx], rtol=1e-6)
+
+
+def test_edgewise_loss_2d_mesh_matches_single_device(rng):
+    """Edgewise under a (graph x model) 2-D mesh: dist_take_rows keeps the
+    feature dim sharded over the model axis; the DistMult scores must
+    still match single-device."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=96, type_trick="Residual")
+    cfg = dataclasses.replace(
+        cfg, has_loss_component_edgewise=True, samp_size_p=16,
+        samp_size_n_train=16, samp_size_n_test_times_p=2)
+    pd_single = prepare(data, cfg)
+    r1 = loops.train_teacher(cfg, pd_single, seed=3, epochs=2)
+
+    mesh2d = jax.make_mesh((4, 2), ("graph", "model"))
+    pd_dist = prepare_sharded(data, cfg, mesh2d, model_axis="model",
+                              rb=8, eb=32)
+    r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=2)
+    assert r1.columns == r2.columns
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
