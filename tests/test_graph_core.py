@@ -78,3 +78,29 @@ def test_subgraph_relabel():
     assert (0, 1) in s  # 1->2
     assert (2, 2) in s  # 3->3 self loop
     assert all(v < 3 for v in sub.flatten())
+
+
+def test_lean_graph_spmm_fwd_bwd():
+    """lean=True graphs carry zero-length COO arrays but full plans; spmm
+    and its VJP must work (plans path) and match the non-lean graph."""
+    import jax
+    import jax.numpy as jnp
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(0)
+    n, m = 300, 2000
+    e = np.stack([rng.integers(0, n, m), rng.integers(0, n, m)])
+    w = rng.normal(size=m).astype(np.float32)
+    g_full = core.build_graph(e, n, edge_weight=w, with_dense=False,
+                              with_plans=True)
+    g_lean = core.build_graph(e, n, edge_weight=w, with_dense=False,
+                              with_plans=True, lean=True)
+    assert g_lean.senders.shape == (0,)
+    x = jnp.asarray(rng.normal(size=(n, 32)).astype(np.float32))
+    y1 = spmm(g_full, x, "pallas")
+    y2 = spmm(g_lean, x, "pallas")
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-5)
+    ct = jnp.ones_like(x)
+    d1 = jax.grad(lambda x: jnp.vdot(spmm(g_full, x, "pallas"), ct))(x)
+    d2 = jax.grad(lambda x: jnp.vdot(spmm(g_lean, x, "pallas"), ct))(x)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-5)
