@@ -291,7 +291,7 @@ def run_dist():
         def loss_fn(params, rng, c):
             _, classi, se_reg_all, _ = model.apply(
                 {"params": params}, c["g"], c["x"], train=True,
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, g_last=c.get("g_last"))
             loss = _nll_masked(classi, c["y"], c["mask"])
             if se_reg_all is not None:
                 loss = loss + cfg.se_reg * se_reg_all
@@ -329,8 +329,15 @@ def run_dist():
     rel_max = max(rel)
     ok = bool(rel_max < 5e-3)
 
-    # timing: the sharded step with the default config (dropout on)
+    # timing: the sharded step with the default config (dropout on) and
+    # the loss-masked final layer, like the production train_teacher path
+    from gnn_tail_generalization_tpu.train.loops import final_agg_view
+
     loss_d = make_loss(model_d, cfg_d)
+    gl = final_agg_view(cfg, pd_d, is_dist=True)
+    if gl is not None:
+        cd = dict(cd)
+        cd["g_last"] = gl
 
     def step(params, opt_state, rng, c):
         loss, grads = jax.value_and_grad(loss_d)(params, rng, c)

@@ -90,9 +90,11 @@ def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
     or None. THE single gate for the optimization — valid only when the
     train-mode last-conv output reaches the loss exclusively through the
     row-masked NLL: no edgewise loss, no cross-row norm trick, no graph
-    dropout (which rewires per-layer graphs itself), single-device graph,
-    and a real nodewise loss. bench.py uses this same helper."""
-    if not (cfg.optimize_final_layer_agg and not is_dist
+    dropout (which rewires per-layer graphs itself), and a real nodewise
+    loss. bench.py uses this same helper. On a DistGraph the view is a
+    second (smaller) DistGraph over the train-dst edge subset with the
+    FULL graph's degree vectors."""
+    if not (cfg.optimize_final_layer_agg
             and cfg.has_loss_component_nodewise
             and not cfg.has_loss_component_edgewise
             and not cfg.apply_graph_dropout):
@@ -101,10 +103,28 @@ def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
 
     if norm_applies(cfg.type_trick):
         return None
+    # host mask from train_idx (always host) — data.train_mask may be a
+    # multi-process sharded device array that no process can fetch whole
+    n_node = getattr(data.graph, "n_node", None) or data.n_node
+    m = np.zeros(n_node, bool)
+    m[np.asarray(data.train_idx)] = True
+    if is_dist:
+        import dataclasses as _dc
+
+        from ..parallel.distgraph import build_dist_graph
+
+        g = data.graph
+        e = data.edge_index
+        sub = build_dist_graph(
+            e[:, m[e[1]]], g.n_node, g.mesh, axis=g.axis,
+            model_axis=g.model_axis, rb=g.rb, eb=g.eb,
+        )
+        assert sub.n_node_pad == g.n_node_pad
+        return _dc.replace(sub, deg_in=g.deg_in, deg_out=g.deg_out)
     from ..graph.core import loss_masked_view
 
     return loss_masked_view(
-        data.graph, data.edge_index, np.asarray(data.train_mask),
+        data.graph, data.edge_index, m,
         plan_rb=cfg.final_agg_plan_rb,
     )
 
