@@ -78,6 +78,9 @@ class TransformerConv(nn.Module):
 
     @nn.compact
     def __call__(self, g: Graph, x):
+        assert g.e_pad > 0, (
+            "TransformerConv attends over the COO edge arrays — rebuild "
+            "the graph without lean=True")
         d = self.out_channels
         q = nn.Dense(d)(x)
         k = nn.Dense(d)(x)

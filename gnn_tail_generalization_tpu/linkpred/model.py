@@ -259,7 +259,13 @@ def train_linkpred(
         msg_edges = symmetrize(np.asarray(split_edge["train"]["edge"]).T,
                                n_node)
     # large graphs get Pallas plans so every encoder aggregation runs the
-    # scatter-free (packed-pair on bf16) kernel instead of segment_sum
+    # scatter-free (packed-pair on bf16) kernel instead of segment_sum.
+    # lean (plans-only, no COO arrays) saves ~0.9 GB HBM at ogbl scale but
+    # is only legal when nothing reads per-edge views: the Transformer
+    # encoder's attention and the xmc edge-LP both walk g.senders.
+    needs_coo = (cfg.encoder.upper() == "TRANSFORMER"
+                 or cfg.edge_lp_mode == "xmc")
+    lean = n_node > 1_000_000 and not needs_coo
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
             remove_self_loops
@@ -268,12 +274,10 @@ def train_linkpred(
         w = gcn_norm_weights(e2, n_node)
         g = build_graph(e2, n_node, edge_weight=w,
                         with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096,
-                        lean=n_node > 1_000_000)
+                        with_plans=n_node > 4096, lean=lean)
     else:
         g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096,
-                        lean=n_node > 1_000_000)
+                        with_plans=n_node > 4096, lean=lean)
 
     num_feats = 0 if x is None else x.shape[1]
     model = LinkPredModel(cfg, n_node, num_feats)
@@ -487,6 +491,9 @@ def evaluate(cfg, model, params, const, split_edge, encode_all,
                 # from the raw edge list, where padding would become real
                 # weighted self-loops at the last node
                 ne = const["g"].n_edge
+                assert const["g"].senders.shape[0] >= ne, (
+                    "xmc edge-LP walks the graph's COO arrays — rebuild "
+                    "the graph without lean=True")
                 e_msg = np.stack([np.asarray(const["g"].senders)[:ne],
                                   np.asarray(const["g"].receivers)[:ne]])
                 out = elp.run_xmc_lp(e_msg, n, all_edges, logits,

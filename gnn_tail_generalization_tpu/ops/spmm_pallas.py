@@ -78,6 +78,14 @@ def _round_up(x: int, m: int) -> int:
 #: gather + reduce sequentially (piece_bounds). 6M rows x 512B = ~3 GB —
 #: at ogbl-citation2 scale one unsplit gather would be 24 GB (> HBM), and
 #: the citation2 train step measured 17.35G/15.75G at a 12M budget.
+#: NOTE the budget is denominated in ROWS assuming ONE 512B/row stream —
+#: true for the packed bf16 path at d<=256 and the f32 path at d<=128
+#: (the production hot paths). f32 d>128 gathers d_pad*4 B/row and bf16
+#: d>256 gathers one 512B stream PER 256-feature group: callers on those
+#: shapes should pass a proportionally smaller max_gather_rows through
+#: build_plan/build_graph. A single row block bigger than the budget
+#: (extreme hub) becomes one oversized piece — pieces never cut inside a
+#: block (output-revisit safety).
 DEFAULT_MAX_GATHER_ROWS = 6_000_000
 
 
@@ -424,15 +432,13 @@ def _run_piecewise(plan: SegmentMatmulPlan, run):
     at once), and concatenate the disjoint output row ranges."""
     if not plan.piece_bounds:
         return run(plan)
-    import dataclasses as _dc
-
     ys = []
     token = None
     for i in range(len(plan.piece_bounds) - 1):
         p = _piece_view(plan, i)
         if token is not None:
             s, _ = jax.lax.optimization_barrier((p.senders, token))
-            p = _dc.replace(p, senders=s)
+            p = dataclasses.replace(p, senders=s)
         y = run(p)
         token = y[0, 0]
         ys.append(y)

@@ -109,8 +109,6 @@ def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
     m = np.zeros(n_node, bool)
     m[np.asarray(data.train_idx)] = True
     if is_dist:
-        import dataclasses as _dc
-
         from ..parallel.distgraph import build_dist_graph
 
         g = data.graph
@@ -120,7 +118,8 @@ def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
             model_axis=g.model_axis, rb=g.rb, eb=g.eb,
         )
         assert sub.n_node_pad == g.n_node_pad
-        return _dc.replace(sub, deg_in=g.deg_in, deg_out=g.deg_out)
+        return dataclasses.replace(sub, deg_in=g.deg_in,
+                                   deg_out=g.deg_out)
     from ..graph.core import loss_masked_view
 
     return loss_masked_view(

@@ -223,9 +223,14 @@ def test_piecewise_plan_matches_unsplit():
     assert len(p2.piece_bounds) > 2
     assert p2.piece_bounds[-1] == p2.n_chunks
     assert p2.piece_block_bounds[-1] == p2.n_blocks
+    # TPU-faithful interpreter: plain interpret=True skips the
+    # output-revisit semantics that piece boundaries must preserve
+    from jax.experimental.pallas import tpu as pltpu
+
+    faithful = pltpu.InterpretParams()
     for dt in (jnp.float32, jnp.bfloat16):
-        y1 = sp.spmm_via_plan(p1, jnp.asarray(x), interpret=True,
+        y1 = sp.spmm_via_plan(p1, jnp.asarray(x), interpret=faithful,
                               compute_dtype=dt)
-        y2 = sp.spmm_via_plan(p2, jnp.asarray(x), interpret=True,
+        y2 = sp.spmm_via_plan(p2, jnp.asarray(x), interpret=faithful,
                               compute_dtype=dt)
         assert float(jnp.max(jnp.abs(y1 - y2))) == 0.0
