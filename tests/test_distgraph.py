@@ -578,3 +578,28 @@ def test_edgewise_loss_2d_mesh_matches_single_device(rng):
     r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=2)
     assert r1.columns == r2.columns
     np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+
+
+def test_masked_final_layer_dist_padded_rows(rng):
+    """The loss-masked final-layer DistGraph view with a padded row count
+    (n=90 on a 4-shard rb=8 mesh -> n_node_pad=96) must reproduce the
+    single-device records, and turning the optimization off must too."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=90, type_trick="Residual")
+    pd_single = prepare(data, cfg)
+    r1 = loops.train_teacher(cfg, pd_single, seed=3, epochs=3)
+
+    mesh = _mesh(4)
+    pd_dist = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    # gate must be active for this config
+    assert loops.final_agg_view(cfg, pd_dist, is_dist=True) is not None
+    r2 = loops.train_teacher(cfg, pd_dist, seed=3, epochs=3)
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+
+    cfg_off = dataclasses.replace(cfg, optimize_final_layer_agg=False)
+    r3 = loops.train_teacher(cfg_off, pd_dist, seed=3, epochs=3)
+    np.testing.assert_allclose(r3.records, r1.records, rtol=1e-4, atol=1e-3)
