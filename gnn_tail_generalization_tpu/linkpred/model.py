@@ -397,13 +397,17 @@ def train_linkpred(
                 neg = sampling.global_perm_neg_sample(
                     k_ep, keys_sorted, n_node, n_draw, cfg.num_neg)
 
-            total_loss = 0.0
-            nb = 0
+            losses = []
             # every positive edge is visited each epoch: the final partial
             # batch is wrap-filled from the permutation's start so the step
             # keeps one static shape, but the wrapped entries' loss is
             # masked to zero — matching the reference's drop_last=False
-            # partial batch (model.py:144), which never duplicates edges
+            # partial batch (model.py:144), which never duplicates edges.
+            # Loss values are read back ONCE per epoch: a per-batch
+            # float(loss) forces a host sync per step, which costs seconds
+            # of round-trip latency each on a tunneled backend (measured
+            # 17-47 s/step vs 2.1 s/step async at citation2 scale) and
+            # serializes dispatch against execution everywhere.
             for s0 in range(0, n_draw, bsz):
                 idx = s0 + np.arange(bsz)
                 pos_i = idx % n_draw
@@ -417,8 +421,9 @@ def train_linkpred(
                     jnp.asarray(pos_train[sel]), neg[nsel],
                     jax.random.fold_in(k_ep, s0), valid,
                 )
-                total_loss += float(loss)
-                nb += 1
+                losses.append(loss)
+            nb = len(losses)
+            total_loss = float(jnp.sum(jnp.stack(losses)))  # ONE sync
 
             if (epoch + 1) % eval_steps == 0:
                 results = evaluate(cfg, model, params, const, split_edge,
