@@ -409,6 +409,49 @@ def collect_teacher_se(cfg: Config, data: PreparedData, teacher_vars,
 # ---------------------------------------------------------------------------
 
 
+def _run_epoch_loop(step_fn, params, opt_state, k_run, const, epochs,
+                    epoch_block, n_cols, log_fn=None):
+    """Drive ``epochs`` of ``step_fn(params, opt_state, rng, c) ->
+    (params, opt_state, mvec)``, scanning ``epoch_block`` epochs per
+    jitted call — ONE host pull per block instead of per epoch (the
+    tunneled backend pays full round-trip latency per pull). The RNG
+    chain (split k_run per epoch) is identical across block sizes, so
+    records are bitwise-equal to per-epoch stepping."""
+    records = np.zeros((epochs, n_cols), np.float64)
+    step_jit = jax.jit(step_fn)
+    block = max(1, epoch_block)
+    if block > 1:
+        @jax.jit
+        def multi(params, opt_state, k_run, c):
+            def body(carry, _):
+                p, o, kr = carry
+                kr, k = jax.random.split(kr)
+                p, o, m = step_fn(p, o, k, c)
+                return (p, o, kr), m
+
+            (p, o, kr), ms = jax.lax.scan(
+                body, (params, opt_state, k_run), None, length=block)
+            return p, o, kr, ms
+
+    epoch = 0
+    while epoch < epochs:
+        if block > 1 and epochs - epoch >= block:
+            params, opt_state, k_run, ms = multi(params, opt_state, k_run,
+                                                 const)
+            records[epoch: epoch + block] = np.asarray(ms)
+            n_done = block
+        else:
+            k_run, k = jax.random.split(k_run)
+            params, opt_state, m = step_jit(params, opt_state, k, const)
+            records[epoch] = np.asarray(m)
+            n_done = 1
+        if log_fn:
+            for e2 in range(epoch, epoch + n_done):
+                log_fn(e2, records[e2])
+        epoch += n_done
+    return params, opt_state, records
+
+
 def train_semlp_part1(
     cfg: Config,
     data: PreparedData,
@@ -416,6 +459,7 @@ def train_semlp_part1(
     seed: int = 0,
     epochs: Optional[int] = None,
     log_every: int = 0,
+    epoch_block: int = 1,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
     const = {
@@ -440,7 +484,6 @@ def train_semlp_part1(
     def sample(rng, idx):
         return idx[jax.random.randint(rng, (bsz,), 0, idx.shape[0])]
 
-    @jax.jit
     def step(params, opt_state, rng, c):
         kb, kd, ke = jax.random.split(rng, 3)
         bidx = sample(kb, c["train_idx"])
@@ -461,14 +504,15 @@ def train_semlp_part1(
         return params, opt_state, jnp.stack([loss, loss_test])
 
     cols = ["loss_train", "loss_test"]
-    records = np.zeros((epochs, len(cols)), np.float64)
-    for epoch in range(epochs):
-        k_run, k = jax.random.split(k_run)
-        params, opt_state, m = step(params, opt_state, k, const)
-        records[epoch] = np.asarray(m)
-        if log_every and epoch % log_every == 0:
-            print(f"p1 Ep{epoch:03d} train/test mse "
-                  f"{records[epoch, 0]:.4f}/{records[epoch, 1]:.4f}")
+
+    def log_fn(e, rec):
+        if log_every and e % log_every == 0:
+            print(f"p1 Ep{e:03d} train/test mse "
+                  f"{rec[0]:.4f}/{rec[1]:.4f}")
+
+    params, opt_state, records = _run_epoch_loop(
+        step, params, opt_state, k_run, const, epochs, epoch_block,
+        len(cols), log_fn)
     return TrainResult(cols, records, {"params": params},
                        extra={"model": part1})
 
@@ -521,6 +565,7 @@ def train_semlp_part2(
     seed: int = 0,
     epochs: Optional[int] = None,
     log_every: int = 0,
+    epoch_block: int = 1,
 ) -> TrainResult:
     epochs = epochs if epochs is not None else cfg.epochs
     const = {
@@ -674,32 +719,38 @@ def train_semlp_part2(
                           for c2 in cols])
         return params2, opt_state, mvec
 
-    step = jax.jit(lambda p, o, r, c: step_body(p, o, r, c))
-    step_crop = jax.jit(
-        lambda p, o, r, c, bidx, crop: step_body(p, o, r, c, bidx, crop))
+    def log_fn(e, rec):
+        if log_every and e % log_every == 0:
+            print(f"p2 Ep{e:03d} " + " ".join(
+                f"{c}={rec[i]:.2f}" for i, c in enumerate(cols)
+            ))
+
+    if sparse_adj is None:
+        params2, opt_state, records = _run_epoch_loop(
+            lambda p, o, r, c: step_body(p, o, r, c), params2, opt_state,
+            k_run, const, epochs, epoch_block, len(cols), log_fn)
+        return TrainResult(cols, records, {"params": params2},
+                           extra={"model": model})
 
     # sparse-adjacency path: batches drawn host-side so the [B, B]
     # adjacency-power block can be cropped from the scipy CSR per step
+    # (epoch blocks don't apply — each step needs a fresh host crop)
+    step_crop = jax.jit(
+        lambda p, o, r, c, bidx, crop: step_body(p, o, r, c, bidx, crop))
     host_rng = np.random.default_rng(seed * 7919 + 17)
     train_idx_h = np.asarray(data.train_idx)
 
     records = np.zeros((epochs, len(cols)), np.float64)
     for epoch in range(epochs):
         k_run, k = jax.random.split(k_run)
-        if sparse_adj is not None:
-            bidx_np = train_idx_h[
-                host_rng.integers(0, len(train_idx_h), bsz)]
-            crop = adj_pow_crop(sparse_adj, bidx_np)
-            params2, opt_state, m = step_crop(
-                params2, opt_state, k, const,
-                jnp.asarray(bidx_np), jnp.asarray(crop))
-        else:
-            params2, opt_state, m = step(params2, opt_state, k, const)
+        bidx_np = train_idx_h[
+            host_rng.integers(0, len(train_idx_h), bsz)]
+        crop = adj_pow_crop(sparse_adj, bidx_np)
+        params2, opt_state, m = step_crop(
+            params2, opt_state, k, const,
+            jnp.asarray(bidx_np), jnp.asarray(crop))
         records[epoch] = np.asarray(m)
-        if log_every and epoch % log_every == 0:
-            print(f"p2 Ep{epoch:03d} " + " ".join(
-                f"{c}={records[epoch, i]:.2f}" for i, c in enumerate(cols)
-            ))
+        log_fn(epoch, records[epoch])
     return TrainResult(cols, records, {"params": params2},
                        extra={"model": model})
 
@@ -728,25 +779,34 @@ def run_pure_lp(cfg: Config, data: PreparedData,
 
 
 def run_experiment(cfg: Config, data: PreparedData, seed: int = 0,
-                   epochs: Optional[int] = None, log_every: int = 0):
-    """trainer.main dispatch (trainer_node_classification.py:10-30)."""
+                   epochs: Optional[int] = None, log_every: int = 0,
+                   epoch_block: int = 1):
+    """trainer.main dispatch (trainer_node_classification.py:10-30).
+    ``epoch_block``: scan K epochs per jitted call in every phase (one
+    host pull per block; bitwise-identical records)."""
     tw = cfg.train_which
     if tw == "TeacherGNN":
-        return train_teacher(cfg, data, seed, epochs, log_every)
+        return train_teacher(cfg, data, seed, epochs, log_every,
+                             epoch_block=epoch_block)
     if tw == "LP":
         return run_pure_lp(cfg, data)
     if tw in ("StudentBaseMLP", "GraphMLP"):
         cfg = dataclasses.replace(cfg, SEMLP__downgrade_to_MLP=True)
         return train_semlp_part2(cfg, data, seed=seed, epochs=epochs,
-                                 log_every=log_every)
+                                 log_every=log_every,
+                                 epoch_block=epoch_block)
     if tw == "SEMLP":
         if cfg.SEMLP__downgrade_to_MLP:
             return train_semlp_part2(cfg, data, seed=seed, epochs=epochs,
-                                     log_every=log_every)
-        teacher = train_teacher(cfg, data, seed, epochs, log_every)
+                                     log_every=log_every,
+                                     epoch_block=epoch_block)
+        teacher = train_teacher(cfg, data, seed, epochs, log_every,
+                                epoch_block=epoch_block)
         se = collect_teacher_se(cfg, data, teacher.best_variables)
-        p1 = train_semlp_part1(cfg, data, se, seed, epochs, log_every)
-        p2 = train_semlp_part2(cfg, data, se, p1, seed, epochs, log_every)
+        p1 = train_semlp_part1(cfg, data, se, seed, epochs, log_every,
+                               epoch_block=epoch_block)
+        p2 = train_semlp_part2(cfg, data, se, p1, seed, epochs, log_every,
+                               epoch_block=epoch_block)
         p2.extra["teacher"] = teacher
         p2.extra["part1"] = p1
         return p2

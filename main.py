@@ -191,7 +191,7 @@ def main():
             else:
                 res = loops.run_experiment(
                     cfg, pd, seed=cfg.random_seed + seed,
-                    log_every=log_every
+                    log_every=log_every, epoch_block=epoch_block,
                 )
             if isinstance(res, dict):  # pure LP
                 print(json.dumps(res))

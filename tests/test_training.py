@@ -279,3 +279,22 @@ def test_graphmlp_trains_at_scale():
     res = loops.run_experiment(cfg, pd, seed=0, epochs=3)
     assert np.isfinite(res.records).all()
     assert res.records.shape[0] == 3
+
+
+def test_epoch_block_equivalence_semlp_parts(small_setup):
+    """Part-1 and part-2 records must be bitwise-identical across epoch
+    block sizes (same RNG split chain inside and outside the scan)."""
+    cfg, pd = small_setup
+    cfg = dataclasses.replace(cfg, train_which="SEMLP")
+    teacher = loops.train_teacher(cfg, pd, seed=0, epochs=4)
+    se = loops.collect_teacher_se(cfg, pd, teacher.best_variables)
+
+    p1a = loops.train_semlp_part1(cfg, pd, se, seed=0, epochs=6)
+    p1b = loops.train_semlp_part1(cfg, pd, se, seed=0, epochs=6,
+                                  epoch_block=3)
+    np.testing.assert_array_equal(p1a.records, p1b.records)
+
+    p2a = loops.train_semlp_part2(cfg, pd, se, p1a, seed=0, epochs=6)
+    p2b = loops.train_semlp_part2(cfg, pd, se, p1a, seed=0, epochs=6,
+                                  epoch_block=3)
+    np.testing.assert_array_equal(p2a.records, p2b.records)
