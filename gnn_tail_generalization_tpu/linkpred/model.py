@@ -258,13 +258,46 @@ def train_linkpred(
     elif msg_edges is None:
         msg_edges = symmetrize(np.asarray(split_edge["train"]["edge"]).T,
                                n_node)
+    if cfg.encoder in ("CN", "AA", "PPR"):
+        # heuristic short-circuit (model.py:122-124,176-178): no training;
+        # score every split with the heuristic on the message graph
+        from . import heuristics as H
+
+        def hscore(edges):
+            return jnp.asarray(H.heuristic_scores(
+                cfg.encoder, msg_edges, n_node,
+                np.asarray(edges).T).astype(np.float32))
+
+        pos_train = hscore(split_edge["train"]["edge"])
+        pos_val = hscore(split_edge["valid"]["edge"])
+        neg_val = hscore(split_edge["valid"]["edge_neg"])
+        pos_test = hscore(split_edge["test"]["edge"])
+        neg_test = hscore(split_edge["test"]["edge_neg"])
+        m = cfg.eval_metric
+        if m == "hits":
+            results = M.evaluate_hits(pos_val, neg_val, pos_test, neg_test)
+        elif m == "mrr":
+            results = M.evaluate_mrr(pos_val, neg_val, pos_test, neg_test)
+        else:
+            topk = float(m.split("@")[1]) if "@" in m else None
+            results = M.evaluate_recall_my(pos_train, neg_val, pos_val,
+                                           neg_val, pos_test, neg_test,
+                                           topk=topk)
+        logger = Logger(1)
+        vals = list(results.values())[0]
+        logger.add_result(0, vals[-2:])
+        return {"logger": logger, "stats": logger.statistics(),
+                "last_results": results, "params": None,
+                "split_edge": split_edge}
+
     # large graphs get Pallas plans so every encoder aggregation runs the
     # scatter-free (packed-pair on bf16) kernel instead of segment_sum.
     # lean (plans-only, no COO arrays) saves ~0.9 GB HBM at ogbl scale but
     # is only legal when nothing reads per-edge views: the Transformer
     # encoder's attention and the xmc edge-LP both walk g.senders.
     needs_coo = (cfg.encoder.upper() == "TRANSFORMER"
-                 or cfg.edge_lp_mode == "xmc")
+                 or cfg.edge_lp_mode == "xmc"
+                 or cfg.spmm_method in ("gather", "dense"))
     lean = n_node > 1_000_000 and not needs_coo
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
@@ -324,38 +357,6 @@ def train_linkpred(
             idx = (s0 + np.arange(chunk)) % m  # wrap-pad: one static shape
             outs.append(predict_chunk(params, h, jnp.asarray(edges[idx])))
         return jnp.concatenate(outs)[:m]
-
-    if cfg.encoder in ("CN", "AA", "PPR"):
-        # heuristic short-circuit (model.py:122-124,176-178): no training;
-        # score every split with the heuristic on the message graph
-        from . import heuristics as H
-
-        def hscore(edges):
-            return jnp.asarray(H.heuristic_scores(
-                cfg.encoder, msg_edges, n_node,
-                np.asarray(edges).T).astype(np.float32))
-
-        pos_train = hscore(split_edge["train"]["edge"])
-        pos_val = hscore(split_edge["valid"]["edge"])
-        neg_val = hscore(split_edge["valid"]["edge_neg"])
-        pos_test = hscore(split_edge["test"]["edge"])
-        neg_test = hscore(split_edge["test"]["edge_neg"])
-        m = cfg.eval_metric
-        if m == "hits":
-            results = M.evaluate_hits(pos_val, neg_val, pos_test, neg_test)
-        elif m == "mrr":
-            results = M.evaluate_mrr(pos_val, neg_val, pos_test, neg_test)
-        else:
-            topk = float(m.split("@")[1]) if "@" in m else None
-            results = M.evaluate_recall_my(pos_train, neg_val, pos_val,
-                                           neg_val, pos_test, neg_test,
-                                           topk=topk)
-        logger = Logger(1)
-        vals = list(results.values())[0]
-        logger.add_result(0, vals[-2:])
-        return {"logger": logger, "stats": logger.statistics(),
-                "last_results": results, "params": None,
-                "split_edge": split_edge}
 
     logger = Logger(runs)
     root = jax.random.PRNGKey(seed)
@@ -423,7 +424,8 @@ def train_linkpred(
                 )
                 losses.append(loss)
             nb = len(losses)
-            total_loss = float(jnp.sum(jnp.stack(losses)))  # ONE sync
+            total_loss = (float(jnp.sum(jnp.stack(losses)))  # ONE sync
+                          if losses else 0.0)
 
             if (epoch + 1) % eval_steps == 0:
                 results = evaluate(cfg, model, params, const, split_edge,

@@ -296,6 +296,8 @@ def train_teacher(
     # INSIDE the scan: the carry holds (best_acc, best_params, best_bs) and
     # snapshots via jnp.where per epoch, so SEMLP teacher runs (keep_best)
     # get the same ~block-x host-sync reduction as plain teacher runs.
+    # NOTE _run_epoch_loop is the shared (no-extra-carry) version of this
+    # machinery — keep fixes in sync between the two.
     block = max(1, epoch_block)
     acc_i = cols.index("acc_test")
 
@@ -416,7 +418,12 @@ def _run_epoch_loop(step_fn, params, opt_state, k_run, const, epochs,
     jitted call — ONE host pull per block instead of per epoch (the
     tunneled backend pays full round-trip latency per pull). The RNG
     chain (split k_run per epoch) is identical across block sizes, so
-    records are bitwise-equal to per-epoch stepping."""
+    records are bitwise-equal to per-epoch stepping.
+
+    NOTE train_teacher keeps its own inline copy of this block/tail loop
+    because its carry additionally holds batch_stats and the in-scan
+    best-checkpoint tuple — if you fix RNG handoff / records slicing /
+    host-pull behavior here, mirror it there (and vice versa)."""
     records = np.zeros((epochs, n_cols), np.float64)
     step_jit = jax.jit(step_fn)
     block = max(1, epoch_block)
