@@ -40,9 +40,12 @@ def parse_args():
             parser.add_argument(f"--{f.name}", type=cast, default=None)
     parser.add_argument("--data_root", type=str, default="data")
     parser.add_argument("--log_every", type=int, default=20)
-    parser.add_argument("--epoch_block", type=int, default=1,
+    parser.add_argument("--epoch_block", type=int, default=0,
                         help="epochs per jitted scan block (amortizes "
-                             "host-sync latency on tunneled devices)")
+                             "host-sync latency on tunneled devices); "
+                             "0 = auto (min(50, epochs//4), 1 for short "
+                             "runs). Records are bitwise-identical "
+                             "across block sizes")
     parser.add_argument("--n_devices", type=int, default=1,
                         help="devices in the 1-D ('graph',) mesh; >1 row-"
                              "shards the graph (DistGraph ring SpMM) and "
@@ -102,6 +105,11 @@ def main():
 
     overrides, data_root, log_every, epoch_block, n_devices = parse_args()
     cfg = build_config(**overrides)
+    if epoch_block == 0:
+        # auto: records are bitwise-identical across block sizes, so
+        # blocking is a pure host-sync win; short runs keep per-epoch
+        # stepping (one compiled program, minimal compile)
+        epoch_block = 1 if cfg.epochs < 40 else min(50, cfg.epochs // 4)
     if cfg.exp_mode == "I2_GTL" and cfg.task != "nodeC":
         return run_i2gtl(cfg, data_root, log_every)
     print(f"Configs:\n  dataset={cfg.dataset} train_which={cfg.train_which} "
