@@ -1,15 +1,27 @@
 """Link prediction at ogbl-citation2 scale on the real TPU (not driver-run).
 
-VERDICT r2 item 4: the reference's I2_GTL headline dataset is
-ogbl-citation2 (2.9M nodes, ~30M directed edges,
-/root/reference/trainer_link_prediction.py:215-431); this repo's
-train_linkpred had only ever run at toy N. This script builds a synthetic
-citation2-shaped graph, trains SAGE+DOT for a few capped epochs with the
-full-graph-encode-per-minibatch protocol (model.py:144-152), evaluates
-MRR on sampled splits, and prints ONE JSON line with step/eval timings.
+The reference's I2_GTL headline dataset is ogbl-citation2 (2.9M nodes,
+~30M directed edges, /root/reference/trainer_link_prediction.py:215-431);
+protocol = full-graph encode per 64Ki-edge minibatch
+(/root/reference/Link_prediction_model/model.py:144-152).
 
-Everything here goes through the library path (train_linkpred) — the
-script only builds data and reads timings.
+This script (round 4):
+1. trains SAGE+DOT through train_linkpred (library path) on a synthetic
+   citation2-shaped graph — finiteness + MRR + cold/warm wall-clock, now
+   with the device-resident scanned epoch (ONE host sync per epoch);
+2. times the scanned train step directly (async best-of-2 windows);
+3. calibrates the gather-emitter rate IN-RUN at the real table size (the
+   tunnel degrades 3-5x for minutes at a time and the emitter rate is
+   table-size dependent — a fixed 320 Mrow/s constant measured at arxiv
+   scale is the wrong floor here, RESULTS.md round 4);
+4. prints ONE JSON line with roofline fields mirroring bench.py's and
+   writes it to BENCH_LP_r04.json.
+
+Step anatomy (SAGE 2-layer, raw-feature input, round-4 design): layer-1
+aggregation is HOISTED (constant input -> loop invariant; encoders.py
+hoisted_first_agg), so the step runs 2 SpMMs (fwd layer-2 + its
+transposed backward) over rb-tuned plans (choose_plan_rb), bf16 dense
+tail, halfword dropout.
 """
 import json
 import sys
@@ -24,6 +36,34 @@ def _log(*a):
     print(f"[lp {time.time()-_T0:6.1f}s]", *a, file=sys.stderr, flush=True)
 
 
+def measure_gather_rate(n_node, rows=4_000_000, seed=7):
+    """Best-of-2 rate (Mrow/s) for a 512B/128-lane f32 row gather from a
+    table with this benchmark's node count — the exact operand shape the
+    packed-pair SpMM's gather moves. Arguments (not closure constants:
+    lowering ships constants to the remote compiler)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gather(x, idx):
+        return x[idx]
+
+    x = jax.jit(lambda k: jax.random.normal(k, (n_node, 128)))(
+        jax.random.PRNGKey(seed))
+    idx = jnp.asarray(
+        np.random.default_rng(seed).integers(0, n_node, rows), jnp.int32)
+    float(jnp.sum(gather(x, idx)))  # warm/compile
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _ in range(2):
+            out = gather(x, idx)
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / 2)
+    del x, idx
+    return rows / best / 1e6
+
+
 def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
          eval_pos=8192, num_neg_eval=50, seed=0):
     from gnn_tail_generalization_tpu.data.synthetic import (
@@ -36,9 +76,9 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
     )
 
     import jax
+    import jax.numpy as jnp
 
-    # citation2 headroom: at the 6M-row default the SCANNED 2-step timing
-    # program misses HBM by ~194 MB; 4M-row pieces buy ~1 GB of peak
+    # citation2 headroom: 4M-row pieces keep one gather stream ~2 GB
     from gnn_tail_generalization_tpu.ops import spmm_pallas as _sp
 
     _sp.DEFAULT_MAX_GATHER_ROWS = 4_000_000
@@ -54,7 +94,8 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
 
     # citation2-shaped split: most edges train, sampled eval sets (the
     # real protocol's 86M eval negatives would be pure host-build time on
-    # a synthetic benchmark)
+    # a synthetic benchmark; the sampled-negative MRR protocol is labeled
+    # in the JSON)
     m = e.shape[1]
     perm = rng.permutation(m)
     val = e[:, perm[:eval_pos]]
@@ -92,35 +133,110 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
     _log(f"done: {stats} wall={wall:.1f}s")
     mrr_test = stats["test_mean"]
     assert np.isfinite(mrr_test)
+    del out
 
-    # warm per-step time: same program shapes -> compile cache hits; one
-    # epoch of 8 steps, no eval (eval_steps > epochs)
-    t0 = time.time()
-    train_linkpred(
-        cfg, x, e, n_node, epochs=1, runs=1, eval_steps=5, seed=seed + 1,
-        split_edge=split_edge, msg_edges=msg_edges, max_steps_per_epoch=8,
+    # --- direct step timing: the same library pieces train_linkpred uses,
+    # assembled once so repeat timings don't pay the host graph build
+    from gnn_tail_generalization_tpu.graph.core import build_graph
+    from gnn_tail_generalization_tpu.linkpred.encoders import (
+        hoisted_first_agg,
     )
-    warm = time.time() - t0
-    _log(f"warm epoch (8 steps, no eval): {warm:.1f}s "
-         "(per-batch dispatch through the tunnel)")
+    from gnn_tail_generalization_tpu.linkpred.model import (
+        LinkPredModel, make_epoch_fn,
+    )
+    from gnn_tail_generalization_tpu.ops.spmm_pallas import choose_plan_rb
+    import optax
 
-    # NOTE a scanned multi-step device-only timing was attempted (like
-    # bench.py's) but the citation2 train step sits ~150 MB under the HBM
-    # ceiling on one v5e — the scan's carried-state double buffering tips
-    # it over. The warm-epoch number above is per-dispatch (each step pays
-    # the tunnel's seconds-scale latency); on local hardware the device
-    # step is a fraction of it.
+    plan_rb = choose_plan_rb(np.asarray(msg_edges[1]), n_node)
+    g = build_graph(msg_edges, n_node, with_dense=False, with_plans=True,
+                    lean=True, plan_rb=plan_rb)
+    rows_fwd = g.plans[0].n_chunks * g.plans[0].eb
+    rows_bwd = g.plans[1].n_chunks * g.plans[1].eb
+    _log(f"timing graph: plan_rb={plan_rb} rows fwd/bwd "
+         f"{rows_fwd/1e6:.1f}M/{rows_bwd/1e6:.1f}M "
+         f"(real {msg_edges.shape[1]/1e6:.1f}M)")
+    agg0 = jax.jit(
+        lambda g_, x_: hoisted_first_agg("SAGE", g_, x_, cfg.spmm_method)
+        .astype(jnp.bfloat16))(g, x)
+    const = {"g": g, "x": x, "agg0": agg0}
+    model = LinkPredModel(cfg, n_node, n_feat)
+    k = jax.random.PRNGKey(seed)
+    params = jax.jit(
+        lambda c: model.init(
+            {"params": k, "dropout": k}, c["g"], c["x"],
+            jnp.zeros(2, jnp.int32), jnp.zeros(2, jnp.int32), train=False,
+        ))(const)["params"]
+    tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm),
+                     optax.adam(cfg.lr))
+    opt_state = tx.init(params)
+    n_steps = 16
+    bsz = cfg.batch_size
+    epoch_fn = make_epoch_fn(cfg, model, tx, n_node, n_steps, bsz,
+                             n_steps * bsz)
+    pos_all = jnp.asarray(train.T[: n_steps * bsz].astype(np.int32))
+    keys_sorted = sampling.build_membership(
+        sampling.edge_keys(msg_edges, n_node))
 
-    print(json.dumps({
+    params, opt_state, losses = epoch_fn(
+        params, opt_state, const, pos_all, keys_sorted, k)  # compile+warm
+    float(jnp.sum(losses))
+    step_ms = float("inf")
+    warm_epoch = float("inf")
+    for w in range(2):
+        t0 = time.perf_counter()
+        params, opt_state, l1 = epoch_fn(
+            params, opt_state, const, pos_all, keys_sorted,
+            jax.random.fold_in(k, w + 1))
+        float(jnp.sum(l1))
+        warm_epoch = min(warm_epoch, time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        params, opt_state, l2 = epoch_fn(
+            params, opt_state, const, pos_all, keys_sorted,
+            jax.random.fold_in(k, w + 10))
+        float(jnp.sum(l2))
+        warm_epoch = min(warm_epoch, time.perf_counter() - t0)
+        step_ms = min(step_ms, warm_epoch / n_steps * 1e3)
+    _log(f"scanned step: {step_ms:.0f} ms; warm {n_steps}-step epoch "
+         f"(ONE dispatch+sync): {warm_epoch:.1f}s")
+    del params, opt_state, const, agg0
+
+    # --- in-run gather-rate calibration -> the floor this step is held to
+    rate = measure_gather_rate(n_node)
+    rows_per_step = rows_fwd + rows_bwd  # 2 SpMMs/step (L1 hoisted)
+    floor_ms = rows_per_step / (rate * 1e3)
+    pct = 100.0 * floor_ms / step_ms
+    _log(f"gather rate {rate:.0f} Mrow/s -> floor {floor_ms:.0f} ms "
+         f"-> {pct:.0f}% of floor")
+
+    rec = {
         "metric": "linkpred_citation2_scale",
         "n_node": n_node,
         "n_msg_edges": int(msg_edges.shape[1]),
         "train_positives": int(train.shape[1]),
-        "wall_s_2epochs_8steps_cold": round(wall, 1),
-        "warm_epoch_8steps_s": round(warm, 1),
-        "mrr_test": round(float(mrr_test), 4),
         "encoder": "SAGE", "predictor": "DOT",
-    }))
+        "mrr_test": round(float(mrr_test), 4),
+        "eval_protocol": f"MRR over {num_neg_eval} sampled uniform "
+                         "negatives per positive (OGB citation2 uses "
+                         "fixed 1000-negative lists)",
+        "wall_s_2epochs_8steps_cold": round(wall, 1),
+        "warm_epoch_steps": n_steps,
+        "warm_epoch_s": round(warm_epoch, 2),
+        "step_ms": round(step_ms, 1),
+        "step_definition": "train fwd+bwd+adam, 64Ki-edge batch, "
+                           "full-graph encode; step_ms = (scanned "
+                           "16-step epoch incl. ONE dispatch+sync) / 16, "
+                           "best of 4 epochs; layer-1 agg hoisted "
+                           "(2 SpMMs/step)",
+        "plan_rb": plan_rb,
+        "gather_rows_per_step": rows_per_step,
+        "gather_rate_mrow_s_measured": round(rate, 1),
+        "gather_emitter_floor_ms": round(floor_ms, 1),
+        "pct_gather_emitter_floor": round(pct, 1),
+    }
+    line = json.dumps(rec)
+    print(line)
+    with open("BENCH_LP_r04.json", "w") as f:
+        f.write(line + "\n")
 
 
 if __name__ == "__main__":

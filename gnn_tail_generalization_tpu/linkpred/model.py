@@ -100,11 +100,18 @@ class LinkPredModel(nn.Module):
             return feats
         return self.node_emb
 
-    def encode(self, g: Graph, x, *, train: bool = False):
-        return self.encoder(g, self.input_feat(x), train=train)
+    def encode(self, g: Graph, x, *, train: bool = False, agg0=None):
+        return self.encoder(g, self.input_feat(x), train=train, agg0=agg0)
 
     def predict(self, h, src, dst, *, train: bool = False):
         return self.predictor(h[src], h[dst], train=train)
+
+    def predict_pairs(self, hs, hd, *, train: bool = False):
+        """predict with the endpoint rows already gathered — the sharded
+        trainer gathers them via dist_take_rows (one [B, d] psum) since
+        GSPMD has no canonical sharding for a replicated-index gather
+        from the row-sharded embedding table."""
+        return self.predictor(hs, hd, train=train)
 
     def __call__(self, g: Graph, x, src, dst, *, train: bool = False):
         h = self.encode(g, x, train=train)
@@ -202,24 +209,39 @@ class Logger:
         }
 
 
-def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
+def _plain_take(h, idx):
+    return h[idx]
+
+
+def make_loss_fn(cfg: LinkPredConfig, model: LinkPredModel,
+                 take_rows=_plain_take):
     def loss_fn(params, c, pos_edge, neg_edge, rng, valid):
         h = model.apply(
             {"params": params}, c["g"], c["x"], train=True,
-            rngs={"dropout": rng}, method=model.encode,
+            rngs={"dropout": rng}, agg0=c.get("agg0"),
+            method=model.encode,
         )
         pos_out = model.apply(
-            {"params": params}, h, pos_edge[:, 0], pos_edge[:, 1],
+            {"params": params}, take_rows(h, pos_edge[:, 0]),
+            take_rows(h, pos_edge[:, 1]),
             train=True, rngs={"dropout": jax.random.fold_in(rng, 1)},
-            method=model.predict,
+            method=model.predict_pairs,
         )
         neg = neg_edge.reshape(-1, 2)
         neg_out = model.apply(
-            {"params": params}, h, neg[:, 0], neg[:, 1],
+            {"params": params}, take_rows(h, neg[:, 0]),
+            take_rows(h, neg[:, 1]),
             train=True, rngs={"dropout": jax.random.fold_in(rng, 2)},
-            method=model.predict,
+            method=model.predict_pairs,
         )
         return compute_loss(cfg, pos_out, neg_out, valid=valid)
+
+    return loss_fn
+
+
+def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx,
+                    take_rows=_plain_take):
+    loss_fn = make_loss_fn(cfg, model, take_rows)
 
     @jax.jit
     def step(params, opt_state, c, pos_edge, neg_edge, rng, valid):
@@ -231,6 +253,60 @@ def make_train_step(cfg: LinkPredConfig, model: LinkPredModel, tx):
         return params, opt_state, loss
 
     return step
+
+
+def make_epoch_fn(cfg: LinkPredConfig, model: LinkPredModel, tx,
+                  n_node: int, n_steps: int, bsz: int, n_draw: int,
+                  take_rows=_plain_take):
+    """ONE jitted program per epoch: device permutation of the positive
+    table, per-step negative draws, and ``n_steps`` train steps under
+    ``lax.scan`` — a single host round-trip per epoch instead of per
+    minibatch (through a tunneled backend each dispatch costs seconds;
+    measured 126 s vs ~4 s for 8 citation2-scale steps, RESULTS.md).
+
+    params/opt_state are donated, the carry holds nothing else, and the
+    positive table stays device-resident across epochs — this is what
+    lets the citation2-scale step fit HBM under scan (round-3's attempt
+    carried per-step host batches and double-buffered state).
+
+    Semantics vs the host loop: identical protocol (every positive
+    visited once per epoch, wrap-filled final batch masked); negatives
+    are drawn per step instead of per epoch and the permutation is
+    jax.random instead of numpy — iid-equivalent, different streams."""
+    loss_fn = make_loss_fn(cfg, model, take_rows)
+
+    def epoch(params, opt_state, c, pos_all, keys_sorted, k_ep):
+        perm = jax.random.permutation(
+            jax.random.fold_in(k_ep, 0x7919), pos_all.shape[0])
+
+        def body(carry, s):
+            params, opt_state = carry
+            k_s = jax.random.fold_in(k_ep, s)
+            idx = s * bsz + jnp.arange(bsz)
+            pos_i = idx % n_draw
+            pos = pos_all[perm[pos_i]]
+            k_neg = jax.random.fold_in(k_s, 3)
+            if cfg.neg_sampler == "global":
+                neg = sampling.global_neg_sample(
+                    k_neg, keys_sorted, n_node, bsz, cfg.num_neg)
+            elif cfg.neg_sampler == "local":
+                neg = sampling.local_neg_sample(k_neg, pos, n_node,
+                                                cfg.num_neg)
+            else:  # global_perm: permuted copies within the step's batch
+                neg = sampling.global_perm_neg_sample(
+                    k_neg, keys_sorted, n_node, bsz, cfg.num_neg)
+            valid = (idx < n_draw).astype(jnp.float32)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, c, pos, neg, jax.random.fold_in(k_s, 1), valid)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jnp.arange(n_steps))
+        return params, opt_state, losses
+
+    return jax.jit(epoch, donate_argnums=(0, 1))
 
 
 def train_linkpred(
@@ -246,12 +322,26 @@ def train_linkpred(
     split_edge: Optional[Dict] = None,
     msg_edges: Optional[np.ndarray] = None,
     max_steps_per_epoch: Optional[int] = None,
+    device_epoch: bool = True,
+    mesh=None,
+    dist_axis: str = "graph",
+    dist_rb: int = 128,
+    dist_eb: int = 1024,
 ) -> Dict[str, Any]:
     """The run x epoch loop of trainer_link_prediction.py:215-431. With
     ``split_edge`` given (e.g. from linkpred/surgery.py transfer settings)
     the provided split is used; otherwise a random split is made.
     ``max_steps_per_epoch`` caps minibatches per epoch (benchmarking at
-    ogbl scale; None = the reference's full pass over positives)."""
+    ogbl scale; None = the reference's full pass over positives).
+    ``device_epoch=True`` (default) runs each epoch as ONE jitted
+    scan-of-steps with device-side permutation and negative draws
+    (make_epoch_fn); False keeps the per-batch host loop (reference-
+    style pairing of per-epoch negatives with positive indices).
+    ``mesh``: a jax Mesh with a ``dist_axis`` dimension shards the whole
+    trainer — the message graph becomes a DistGraph (ring SpMM), features
+    and the encoded table row-shard over the axis, and endpoint rows for
+    the predictor ride dist_take_rows psums. Requires raw-feature input
+    (no trainable node embedding) and a conv encoder."""
     if split_edge is None:
         split_edge, msg_edges = simple_split_edges(edge_index, n_node,
                                                    seed=seed)
@@ -299,29 +389,85 @@ def train_linkpred(
                  or cfg.edge_lp_mode == "xmc"
                  or cfg.spmm_method in ("gather", "dense"))
     lean = n_node > 1_000_000 and not needs_coo
+    # plan geometry: at ogbl scale the default rb=128 pads citation2-shaped
+    # degree distributions by ~54% (mean edges per 128-row block lands just
+    # above one eb chunk); pick rb from the actual distribution instead
+    from ..ops.spmm_pallas import choose_plan_rb
+
+    e_msg, w_msg = msg_edges, None
     if cfg.encoder.upper() == "GCN":
         from ..graph.core import gcn_norm_weights, add_self_loops, \
             remove_self_loops
 
-        e2 = add_self_loops(remove_self_loops(msg_edges), n_node)
-        w = gcn_norm_weights(e2, n_node)
-        g = build_graph(e2, n_node, edge_weight=w,
-                        with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096, lean=lean)
+        e_msg = add_self_loops(remove_self_loops(msg_edges), n_node)
+        w_msg = gcn_norm_weights(e_msg, n_node)
+
+    take_rows = _plain_take
+    if mesh is not None:
+        from ..parallel.distgraph import (
+            build_dist_graph, dist_take_rows, global_put, pad_rows_np,
+        )
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        assert cfg.use_node_feats and not cfg.train_node_emb, (
+            "sharded linkpred runs on raw features (a trainable node "
+            "embedding would need its own row sharding)")
+        assert cfg.encoder.upper() not in ("TRANSFORMER", "MLP"), \
+            cfg.encoder
+        assert not cfg.edge_lp_mode, "edge-LP modes walk COO edge arrays"
+        g = build_dist_graph(e_msg, n_node, mesh, edge_weight=w_msg,
+                             axis=dist_axis, rb=dist_rb, eb=dist_eb)
+        xd = global_put(
+            pad_rows_np(np.asarray(x, np.float32), g.n_node_pad),
+            NamedSharding(mesh, P(dist_axis, None)))
+        take_rows = lambda h, i: dist_take_rows(g, h, i)  # noqa: E731
+        rep_sharding = NamedSharding(mesh, P())
     else:
-        g = build_graph(msg_edges, n_node, with_dense=n_node <= 4096,
-                        with_plans=n_node > 4096, lean=lean)
+        plan_rb = 128
+        if n_node > 100_000:
+            plan_rb = choose_plan_rb(np.asarray(e_msg[1]), n_node)
+        g = build_graph(e_msg, n_node, edge_weight=w_msg,
+                        with_dense=n_node <= 4096,
+                        with_plans=n_node > 4096, lean=lean,
+                        plan_rb=plan_rb)
+        xd = (jnp.zeros((n_node, 1)) if x is None
+              else jnp.asarray(x, jnp.float32))
 
     num_feats = 0 if x is None else x.shape[1]
     model = LinkPredModel(cfg, n_node, num_feats)
-    xd = (jnp.zeros((n_node, 1)) if x is None
-          else jnp.asarray(x, jnp.float32))
-    const = {"g": g, "x": xd}
+    # layer-1 aggregation hoist: when the encoder input is CONSTANT under
+    # training (raw features, no trainable embedding) the first conv's
+    # SpMM is a loop invariant — compute it once instead of every step
+    # (the reference full-graph-encodes per minibatch, model.py:144-152).
+    # Saves one of the three per-step SpMMs (fwd L1; L1 has no backward
+    # SpMM since its input carries no gradient). Stored bf16 on the
+    # pallas_bf16 path: it only feeds bf16 dense matmuls there.
+    from .encoders import hoistable, hoisted_first_agg
+
+    agg0 = None
+    if (cfg.use_node_feats and not cfg.train_node_emb
+            and hoistable(cfg.encoder)):
+        agg0 = jax.jit(
+            lambda g_, x_: hoisted_first_agg(
+                cfg.encoder, g_, x_, cfg.spmm_method
+            ).astype(jnp.bfloat16 if cfg.spmm_method == "pallas_bf16"
+                     else jnp.float32)
+        )(g, xd)
+    const = {"g": g, "x": xd, "agg0": agg0}
 
     pos_train = np.asarray(split_edge["train"]["edge"])
     n_pos = pos_train.shape[0]
     bsz = min(cfg.batch_size, n_pos)
-    keys_sorted = jnp.asarray(sampling.edge_keys(msg_edges, n_node))
+    keys_np = sampling.edge_keys(msg_edges, n_node)
+    # large graphs: O(1) hash-bucket membership instead of searchsorted
+    # (233 -> ~30 ms per negative draw at citation2 scale, sampling.py)
+    keys_sorted = (sampling.build_membership(keys_np)
+                   if n_node > 100_000 else jnp.asarray(keys_np))
+
+    n_draw_fix = n_pos
+    if max_steps_per_epoch:
+        n_draw_fix = min(n_pos, max_steps_per_epoch * bsz)
+    n_steps = (n_draw_fix + bsz - 1) // bsz
 
     if cfg.optimizer == "AdamW":
         base = optax.adamw(cfg.lr)
@@ -330,17 +476,23 @@ def train_linkpred(
     tx = optax.chain(optax.clip_by_global_norm(cfg.grad_clip_norm), base) \
         if cfg.grad_clip_norm >= 0 else base
 
-    step = make_train_step(cfg, model, tx)
+    if device_epoch:
+        epoch_fn = make_epoch_fn(cfg, model, tx, n_node, n_steps, bsz,
+                                 n_draw_fix, take_rows)
+        pos_all_dev = jnp.asarray(pos_train.astype(np.int32))
+    else:
+        step = make_train_step(cfg, model, tx, take_rows)
 
     @jax.jit
     def encode_all(params, c):
         return model.apply({"params": params}, c["g"], c["x"], train=False,
-                           method=model.encode)
+                           agg0=c.get("agg0"), method=model.encode)
 
     @jax.jit
     def predict_chunk(params, h, edges):
-        return model.apply({"params": params}, h, edges[:, 0], edges[:, 1],
-                           train=False, method=model.predict)
+        return model.apply({"params": params}, take_rows(h, edges[:, 0]),
+                           take_rows(h, edges[:, 1]),
+                           train=False, method=model.predict_pairs)
 
     def predict_chunked(params, h, edges, chunk: int = 64 * 1024):
         """batch_predict (model.py:172-185): fixed-size chunks so one
@@ -362,20 +514,52 @@ def train_linkpred(
     root = jax.random.PRNGKey(seed)
     results_last = None
 
+    def _init_fwd(mdl, g_, x_):
+        # exercises encoder AND predictor without an embedding-table
+        # gather (which has no canonical GSPMD sharding when h is
+        # row-sharded); parameter shapes/values identical to __call__ init
+        h = mdl.encode(g_, x_)
+        probe = jnp.zeros((2, h.shape[-1]), h.dtype)
+        return mdl.predict_pairs(probe, probe)
+
     for run in range(runs):
         k_run = jax.random.fold_in(root, run)
         params = jax.jit(
             lambda c: model.init(
                 {"params": jax.random.fold_in(k_run, 999),
                  "dropout": k_run},
-                c["g"], c["x"], jnp.zeros(2, jnp.int32),
-                jnp.zeros(2, jnp.int32), train=False,
+                c["g"], c["x"], method=_init_fwd,
             )
         )(const)["params"]
+        if mesh is not None:
+            # commit params replicated: under explicitly-typed mesh axes
+            # an uncommitted param makes dW = x^T dh (contraction over the
+            # row-sharded dim) ambiguous to the sharding type system
+            params = jax.device_put(params, rep_sharding)
         opt_state = tx.init(params)
 
         for epoch in range(epochs):
             k_ep = jax.random.fold_in(k_run, epoch)
+            if device_epoch:
+                # one program, one host sync per epoch (make_epoch_fn)
+                params, opt_state, losses_dev = epoch_fn(
+                    params, opt_state, const, pos_all_dev, keys_sorted,
+                    k_ep)
+                nb = n_steps
+                total_loss = float(jnp.sum(losses_dev))
+                if (epoch + 1) % eval_steps == 0:
+                    results = evaluate(cfg, model, params, const,
+                                       split_edge, encode_all,
+                                       predict_chunked)
+                    key = list(results.keys())[0]
+                    vals = results[key]
+                    logger.add_result(run, vals[-2:])
+                    results_last = results
+                    if log_every:
+                        print(f"run {run} ep {epoch}: "
+                              f"loss={total_loss/max(nb,1):.4f} "
+                              f"{key}={vals}")
+                continue
             perm = np.random.default_rng(seed * 1000 + epoch).permutation(
                 n_pos)
             # capped epochs (benchmarking): only draw negatives for the

@@ -137,6 +137,28 @@ def _piece_split(boc_host: np.ndarray, n_chunks: int, n_blocks: int,
     return tuple(bounds), tuple(blocks)
 
 
+def choose_plan_rb(receivers: np.ndarray, n_node: int,
+                   candidates=(128, 192, 256, 384), eb: int = 1024) -> int:
+    """Pick the row-block size minimizing modeled SpMM time for THIS degree
+    distribution. E_pad = sum_b ceil(edges_b/eb)*eb depends strongly on rb
+    when the mean edges-per-block sits near eb (ogbl-citation2: rb=128 pads
+    54%, rb=192 pads 15%); the kernel's MXU work grows linearly with rb.
+    Cost model (v5e, measured round 4): gather ~7.2 ns/padded row at
+    GB-scale tables, segment-matmul ~2.1 ns/row at rb=128 and d=256,
+    scaling with rb. All candidates keep the 8-sublane tiling rule
+    (rb % 8 == 0)."""
+    r = np.asarray(receivers)
+    best_rb, best_cost = candidates[0], np.inf
+    for rb in candidates:
+        nb = (n_node + rb - 1) // rb
+        counts = np.bincount(r // rb, minlength=nb)
+        e_pad = int(np.maximum((counts + eb - 1) // eb, 1).sum()) * eb
+        cost = e_pad * (7.2 + 2.1 * rb / 128)
+        if cost < best_cost:
+            best_rb, best_cost = rb, cost
+    return best_rb
+
+
 def build_plan(
     senders_sorted: np.ndarray,
     receivers_sorted: np.ndarray,
