@@ -61,15 +61,23 @@ class SEMLPPart1(nn.Module):
 
 class SEMLPPart2(nn.Module):
     """Classifier over [x, virtual-neighborhood, part1_out]
-    (MLP_model/__init__.py:101-138)."""
+    (MLP_model/__init__.py:101-138).
+
+    ``replace_fn``: latent-neighbor discovery op ``(le_guess, teacher_se,
+    top_k) -> [B, se_dim]``; defaults to the single-device batched op.
+    The sharded train loop injects ops.topk_attention's
+    make_dist_latent_replace so a row-sharded SE table never gets
+    replicated (static module attribute — a callable, never traced)."""
 
     cfg: Config
+    replace_fn: Optional[object] = None
 
     @nn.compact
     def __call__(self, x, part1_out, teacher_se, *, train: bool = False):
         """``part1_out``: raw part-1 output for the batch (caller applies
         part 1; gradients are stopped here). ``teacher_se``: [N, se_dim]."""
         c = self.cfg
+        replace = self.replace_fn or latent_neighbor_replace
         if c.SEMLP__downgrade_to_MLP:
             part2_in = x
         else:
@@ -79,7 +87,7 @@ class SEMLPPart2(nn.Module):
             p1 = jax.lax.stop_gradient(part1_out) * alphas[0]
             replaced = (
                 jax.lax.stop_gradient(
-                    latent_neighbor_replace(
+                    replace(
                         jax.lax.stop_gradient(p1),
                         teacher_se,
                         c.SEMLP_topK_2_replace,

@@ -15,6 +15,8 @@ tape (the caller stops gradients).
 """
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -61,3 +63,65 @@ def latent_neighbor_replace(
     chunks = padded.reshape(-1, row_chunk, le_guess.shape[1])
     out = jax.lax.map(block, chunks)
     return out.reshape(-1, teacher_se.shape[1])[:b]
+
+
+def make_dist_latent_replace(mesh, axis: str, rows_per_shard: int,
+                             n_valid: int,
+                             precision=jax.lax.Precision.HIGHEST):
+    """Sharded latent-neighbor discovery over a row-sharded SE table.
+
+    Returns ``fn(le_guess, teacher_se, top_k)`` with the same semantics as
+    :func:`latent_neighbor_replace` where ``teacher_se`` is
+    [n_node_pad, se_dim] row-sharded over the mesh's ``axis`` and
+    ``le_guess`` is a replicated batch. Per shard: local [B, rows] scores
+    -> local top-k (GLOBAL candidate ids) -> all_gather of S*K candidates
+    -> exact global top-k -> softmax -> each shard contributes its owned
+    SE rows to the weighted sum, merged with ONE [B, se_dim] psum (the
+    'psum-of-partial-topk' plan, VERDICT r3 item 3). Rows >= ``n_valid``
+    (mesh padding — their SE entries are biases-of-zero-features, not
+    real nodes) are masked to -inf before selection.
+
+    Exactness vs the single-device op: scores are computed whole within
+    one shard (the table is row-sharded), so values are identical; ties
+    BETWEEN equal scores may select a different (equally-scored) neighbor
+    when the tie straddles a shard's local top-k cut — measure-zero for
+    real-valued embeddings."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def fn(le_guess, teacher_se, top_k: int):
+        @partial(
+            shard_map, mesh=mesh, in_specs=(P(), P(axis, None)),
+            out_specs=P(), check_vma=False,
+        )
+        def run(le, se_local):
+            k = jax.lax.axis_index(axis)
+            row0 = k * rows_per_shard
+            scores = jnp.matmul(le, se_local.T, precision=precision)
+            cols = row0 + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where(cols < n_valid, scores, -jnp.inf)
+            v, i = jax.lax.top_k(scores, top_k)  # local [B, K]
+            gi = i + row0
+            # shard-major candidate list keeps global-index tie order
+            av = jax.lax.all_gather(v, axis)  # [S, B, K]
+            ai = jax.lax.all_gather(gi, axis)
+            s = av.shape[0]
+            b = le.shape[0]
+            av = jnp.transpose(av, (1, 0, 2)).reshape(b, s * top_k)
+            ai = jnp.transpose(ai, (1, 0, 2)).reshape(b, s * top_k)
+            v2, pos = jax.lax.top_k(av, top_k)  # global [B, K]
+            sel = jnp.take_along_axis(ai, pos, axis=1)
+            attn = jax.nn.softmax(v2, axis=-1)
+            # local contribution of the weighted sum; ONE psum merges
+            local = sel - row0
+            ok = (local >= 0) & (local < rows_per_shard)
+            safe = jnp.clip(local, 0, rows_per_shard - 1)
+            neigh = jnp.where(ok[:, :, None], se_local[safe], 0.0)
+            out = jnp.einsum("bk,bkd->bd", attn, neigh,
+                             precision=precision)
+            return jax.lax.psum(out, axis)
+
+        return run(le_guess, teacher_se)
+
+    return fn

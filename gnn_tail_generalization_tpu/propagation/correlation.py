@@ -66,6 +66,29 @@ def gen_normalized_adjs(edge_index: np.ndarray, n_node: int,
     )
 
 
+def gen_normalized_dist_adj(edge_index: np.ndarray, n_node: int, mesh,
+                            which: str = "DAD", *, axis: str = "graph",
+                            model_axis=None, rb: int = 128, eb: int = 1024):
+    """One normalized adjacency as a row-sharded DistGraph — the sharded
+    counterpart of gen_normalized_adjs for label propagation / C&S on a
+    mesh (the reference forces these to CPU, LP_Adj.py:149-152; here they
+    ride the same ring SpMM as the teacher). Same weight math and the same
+    flipped-edge convention as _adj_graph."""
+    from ..parallel.distgraph import build_dist_graph
+
+    e = symmetrize(edge_index, n_node)
+    deg = np.bincount(e[0], minlength=n_node).astype(np.float64)
+    dis = np.where(deg > 0, deg**-0.5, 0.0)
+    ws = {
+        "DAD": (dis[e[0]] * dis[e[1]]).astype(np.float32),
+        "DA": (dis[e[0]] * dis[e[0]]).astype(np.float32),
+        "AD": (dis[e[1]] * dis[e[1]]).astype(np.float32),
+    }
+    flipped = np.stack([e[1], e[0]])
+    return build_dist_graph(flipped, n_node, mesh, edge_weight=ws[which],
+                            axis=axis, model_axis=model_axis, rb=rb, eb=eb)
+
+
 def general_outcome_correlation(
     adj: Graph,
     y: jax.Array,
@@ -85,12 +108,21 @@ def general_outcome_correlation(
     return jax.lax.fori_loop(0, num_propagations, body, y)
 
 
+def _idx_mask(idx: jax.Array, n: int) -> jax.Array:
+    """[n, 1] float 0/1 mask from an index vector. The scatter runs on a
+    replicated zeros vector, so every function below stays a pure
+    elementwise expression over the (possibly row-sharded) label/output
+    matrices — no gather/scatter against sharded operands, which GSPMD
+    refuses to reshard implicitly. On one device this is the same math in
+    the same precision as the reference's index_put forms."""
+    return jnp.zeros((n, 1), jnp.float32).at[idx].set(1.0)
+
+
 def one_hot_labels(y: jax.Array, label_idx: jax.Array, num_classes: int,
                    n_node: int) -> jax.Array:
     """Zero matrix with one-hot labels at label_idx
     (outcome_correlation.py:147-153)."""
-    out = jnp.zeros((n_node, num_classes), jnp.float32)
-    return out.at[label_idx].set(jax.nn.one_hot(y[label_idx], num_classes))
+    return _idx_mask(label_idx, n_node) * jax.nn.one_hot(y, num_classes)
 
 
 def label_propagation(
@@ -103,8 +135,10 @@ def label_propagation(
     spmm_method: str = "auto",
 ) -> jax.Array:
     """Pure LP (outcome_correlation.py:147-156): propagate one-hot train
-    labels, clamp [0, 1]."""
-    y0 = one_hot_labels(y, label_idx, num_classes, adj.n_node)
+    labels, clamp [0, 1]. ``adj`` may be a DistGraph (rows then run at its
+    padded count; padding rows have no edges and stay 0)."""
+    n_rows = getattr(adj, "n_node_pad", 0) or adj.n_node
+    y0 = one_hot_labels(y, label_idx, num_classes, n_rows)
     return general_outcome_correlation(
         adj, y0, alpha, num_propagations,
         post_step=lambda x: jnp.clip(x, 0.0, 1.0),
@@ -115,18 +149,15 @@ def label_propagation(
 def pre_residual_correlation(y, model_out, label_idx, num_classes):
     """(labels - model_out) at labeled rows, 0 elsewhere
     (outcome_correlation.py:95-110)."""
-    n = model_out.shape[0]
-    out = jnp.zeros((n, num_classes), jnp.float32)
-    delta = jax.nn.one_hot(y[label_idx], num_classes) - model_out[label_idx]
-    return out.at[label_idx].set(delta)
+    m = _idx_mask(label_idx, model_out.shape[0])
+    return m * (jax.nn.one_hot(y, num_classes) - model_out)
 
 
 def pre_outcome_correlation(y, model_out, label_idx, num_classes):
     """model_out with labels snapped in at labeled rows
     (outcome_correlation.py:112-126)."""
-    return model_out.at[label_idx].set(
-        jax.nn.one_hot(y[label_idx], num_classes)
-    )
+    m = _idx_mask(label_idx, model_out.shape[0])
+    return jnp.where(m > 0, jax.nn.one_hot(y, num_classes), model_out)
 
 
 def double_correlation_autoscale(
@@ -142,7 +173,8 @@ def double_correlation_autoscale(
         post_step=lambda x: jnp.clip(x, -1.0, 1.0),
         spmm_method=spmm_method,
     )
-    orig_diff = jnp.sum(jnp.abs(y0[residual_idx])) / residual_idx.shape[0]
+    m_r = _idx_mask(residual_idx, y0.shape[0])
+    orig_diff = jnp.sum(m_r * jnp.abs(y0)) / residual_idx.shape[0]
     scale = orig_diff / jnp.sum(jnp.abs(resid), axis=1, keepdims=True)
     scale = jnp.where(jnp.isinf(scale), 1.0, scale)
     scale = jnp.where(scale > 1000.0, 1.0, scale)
@@ -166,10 +198,11 @@ def double_correlation_fixed(
     """Correct (residual re-pinned each step) & Smooth
     (outcome_correlation.py:182-206)."""
     y0 = pre_residual_correlation(y, model_out, residual_idx, num_classes)
-    fix_y = y0[residual_idx]
+    m_r = _idx_mask(residual_idx, y0.shape[0])
 
     def fix_inputs(x):
-        return x.at[residual_idx].set(fix_y)
+        # re-pin the residual rows each step (y0 holds them already)
+        return jnp.where(m_r > 0, y0, x)
 
     resid = general_outcome_correlation(
         A1, y0, alpha1, num_prop1, post_step=fix_inputs,

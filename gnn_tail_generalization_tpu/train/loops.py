@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Any, Dict, List, Optional
 
 import numpy as np
@@ -390,20 +391,57 @@ def train_teacher(
     )
 
 
+def _dist_graph_of(data: PreparedData):
+    """The DistGraph when ``data`` came from prepare_sharded, else None."""
+    from ..parallel.distgraph import DistGraph
+
+    g = data.graph
+    return g if isinstance(g, DistGraph) else None
+
+
+def _make_take_rows(data: PreparedData):
+    """Batch row-gather for the student loops: plain ``arr[idx]`` single-
+    device; ONE [B, d] psum per gather on a DistGraph (dist_take_rows) so
+    the sharded feature/SE tables are never replicated. 1-D arrays
+    (labels, masks) ride the same psum lifted to [N, 1] — GSPMD refuses
+    to pick an out-sharding for a replicated-index gather from a sharded
+    operand on its own."""
+    dg = _dist_graph_of(data)
+    if dg is None:
+        return lambda arr, idx: arr[idx]
+    from ..parallel.distgraph import dist_take_rows
+
+    def take(arr, idx):
+        if arr.ndim == 1:
+            out = dist_take_rows(dg, arr.astype(jnp.float32)[:, None],
+                                 idx)[:, 0]
+            if arr.dtype == jnp.bool_:
+                return out > 0.5
+            return out.astype(arr.dtype)
+        return dist_take_rows(dg, arr, idx)
+
+    return take
+
+
 def collect_teacher_se(cfg: Config, data: PreparedData, teacher_vars,
                        rng=None) -> jax.Array:
     """Teacher SE table = concat of per-layer embeddings on the full graph
     (trainer:87, GCN.py:148-150). Deterministic by default; pass an rng with
     cfg.bug_compat_part1_target_dropout for the reference's train-mode
-    sample."""
+    sample. On a DistGraph the result is row-sharded [n_node_pad, se_dim]
+    (padding rows are masked out downstream by the dist replace op)."""
     model = TeacherGNN(cfg)
     x = jnp.asarray(data.x)
     train = bool(cfg.bug_compat_part1_target_dropout)
     rngs = {"dropout": rng} if (train and rng is not None) else None
-    _, _, _, les = model.apply(
-        teacher_vars, data.graph, x, train=train, want_les=True, rngs=rngs
-    )
-    return jax.lax.stop_gradient(les)
+
+    @partial(jax.jit, static_argnames=("train_",))
+    def run(v, g, x, train_):
+        _, _, _, les = model.apply(v, g, x, train=train_, want_les=True,
+                                   rngs=rngs)
+        return jax.lax.stop_gradient(les)
+
+    return run(teacher_vars, data.graph, x, train)
 
 
 # ---------------------------------------------------------------------------
@@ -476,15 +514,18 @@ def train_semlp_part1(
         "test_idx": jnp.asarray(data.test_idx),
     }
     bsz = min(cfg.batch_size, len(data.train_idx))  # clamp (MLP_model:61-63)
+    take = _make_take_rows(data)
 
     part1 = SEMLPPart1(cfg, se_dim=int(teacher_se.shape[-1]))
     root = jax.random.PRNGKey(seed + 1)
     k_init, k_run = jax.random.split(root)
+    # init from a zeros probe (flax init reads shapes only): slicing the
+    # row-sharded x ([:2] of a 4-way shard) is not GSPMD-partitionable
     params = jax.jit(
         lambda x: part1.init(
             {"params": k_init, "dropout": k_init}, x, train=True
         )
-    )(const["x"][:2])["params"]
+    )(jnp.zeros((2, const["x"].shape[1]), jnp.float32))["params"]
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)
 
@@ -497,17 +538,19 @@ def train_semlp_part1(
 
         def loss_fn(p):
             out = part1.apply(
-                {"params": p}, c["x"][bidx], train=True, rngs={"dropout": kd}
+                {"params": p}, take(c["x"], bidx), train=True,
+                rngs={"dropout": kd}
             )
-            return jnp.mean((out - c["se"][bidx]) ** 2)
+            return jnp.mean((out - take(c["se"], bidx)) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
 
         tidx = sample(ke, c["test_idx"])
-        out_t = part1.apply({"params": params}, c["x"][tidx], train=False)
-        loss_test = jnp.mean((out_t - c["se"][tidx]) ** 2)
+        out_t = part1.apply({"params": params}, take(c["x"], tidx),
+                            train=False)
+        loss_test = jnp.mean((out_t - take(c["se"], tidx)) ** 2)
         return params, opt_state, jnp.stack([loss, loss_test])
 
     cols = ["loss_train", "loss_test"]
@@ -609,7 +652,22 @@ def train_semlp_part2(
             # [B, B] crops (reference stays sparse too, utils.py:1242-1248)
             sparse_adj = _sparse_adj_pow(data, cfg.graphMLP_r)
 
-    model = GraphMLP(cfg) if is_graphmlp else SEMLPPart2(cfg)
+    take = _make_take_rows(data)
+    dg = _dist_graph_of(data)
+    replace_fn = None
+    if dg is not None and not downgraded:
+        # sharded latent-neighbor discovery over the row-sharded SE table
+        # (psum-merged per-shard top-k); padding rows masked via n_valid
+        from ..ops.topk_attention import make_dist_latent_replace
+
+        assert dg.model_axis is None, (
+            "sharded SEMLP currently runs on 1-D ('graph',) meshes — the "
+            "SE table must be replicated over any model axis")
+        replace_fn = make_dist_latent_replace(
+            dg.mesh, dg.axis, dg.rows_per_shard, dg.n_node)
+
+    model = (GraphMLP(cfg) if is_graphmlp
+             else SEMLPPart2(cfg, replace_fn=replace_fn))
     root = jax.random.PRNGKey(seed + 2)
     k_init, k_run = jax.random.split(root)
 
@@ -617,7 +675,7 @@ def train_semlp_part2(
         """Returns (logits, aux_loss). ``crop``: precomputed [B, B]
         adjacency-power block (sparse at-scale path); defaults to the
         in-jit gather from the dense const."""
-        xb = c["x"][bidx]
+        xb = take(c["x"], bidx)
         rngs = {"dropout": rng} if train else None
         if is_graphmlp:
             logits, z = model.apply(
@@ -650,7 +708,9 @@ def train_semlp_part2(
 
     @jax.jit
     def init_params(k, c):
-        xb = c["x"][:2]
+        # zeros probe, not c["x"][:2]: flax init reads shapes only and a
+        # [:2] slice of a row-sharded table is not GSPMD-partitionable
+        xb = jnp.zeros((2, c["x"].shape[1]), jnp.float32)
         if is_graphmlp:
             return model.init({"params": k, "dropout": k}, xb, train=True)[
                 "params"
@@ -683,9 +743,9 @@ def train_semlp_part2(
         """forward on the subset, acc over its non-train part
         (trainer:173-187, eval_headtail__traintest_v2)."""
         logits, _ = fwd(params2, c, idx, dummy_rng, train=False)
-        m = ~c["train_mask"][idx]
+        m = ~take(c["train_mask"], idx)
         pred = jnp.argmax(logits, axis=1)
-        corr_ = ((pred == c["y"][idx]) & m).sum()
+        corr_ = ((pred == take(c["y"], idx)) & m).sum()
         return corr_ / jnp.maximum(m.sum(), 1) * 100.0
 
     cols = ["loss_train", "acc_test"] + (
@@ -703,7 +763,8 @@ def train_semlp_part2(
             logits, aux = fwd(p2, c, bidx, kd, train=True, crop=crop)
             lsm = jax.nn.log_softmax(logits, axis=1)
             ce = -jnp.mean(
-                jnp.take_along_axis(lsm, c["y"][bidx][:, None], axis=1)
+                jnp.take_along_axis(lsm, take(c["y"], bidx)[:, None],
+                                    axis=1)
             )
             return ce + aux
 
@@ -715,7 +776,8 @@ def train_semlp_part2(
         logits_t, _ = fwd(params2, c, tidx, dummy_rng, train=False)
         metrics = {
             "loss_train": loss,
-            "acc_test": masked_accuracy(logits_t, c["y"][tidx]) * 100.0,
+            "acc_test": masked_accuracy(logits_t, take(c["y"], tidx))
+            * 100.0,
         }
         if want_ht:
             metrics["head"] = subset_test_acc(params2, c, c["large_idx"])
@@ -769,10 +831,19 @@ def train_semlp_part2(
 
 def run_pure_lp(cfg: Config, data: PreparedData,
                 alpha: float = 0.5, num_propagations: int = 50):
-    """trainer:33-63: DAD label propagation from train labels."""
-    dad, _, _ = corr.gen_normalized_adjs(data.edge_index, data.n_node)
+    """trainer:33-63: DAD label propagation from train labels. On
+    prepare_sharded data the DAD adjacency becomes a DistGraph and the
+    50-step propagation runs the ring SpMM (the reference offloads LP to
+    CPU, LP_Adj.py:149-152 — a mesh has no such constraint)."""
+    dg = _dist_graph_of(data)
+    if dg is not None:
+        dad = corr.gen_normalized_dist_adj(
+            data.edge_index, dg.n_node, dg.mesh, "DAD", axis=dg.axis,
+            model_axis=dg.model_axis, rb=dg.rb, eb=dg.eb)
+    else:
+        dad, _, _ = corr.gen_normalized_adjs(data.edge_index, data.n_node)
     y = jnp.asarray(data.y)
-    nc = cfg.num_classes or int(data.y.max()) + 1
+    nc = cfg.num_classes or int(jnp.max(y)) + 1
     out = jax.jit(
         lambda y, idx, g: corr.label_propagation(
             y, idx, g, alpha, num_propagations, nc,
@@ -780,8 +851,11 @@ def run_pure_lp(cfg: Config, data: PreparedData,
         )
     )(y, jnp.asarray(data.train_idx), dad)
     train_mask = jnp.asarray(data.train_mask)
+    # padding rows (dist): False in BOTH masks -> excluded either way
+    test_mask = (jnp.asarray(data.test_mask) if dg is not None
+                 else ~train_mask)
     acc_train = float(masked_accuracy(out, y, train_mask)) * 100
-    acc_test = float(masked_accuracy(out, y, ~train_mask)) * 100
+    acc_test = float(masked_accuracy(out, y, test_mask)) * 100
     return {"acc_train": round(acc_train, 2), "acc_test": round(acc_test, 2)}
 
 

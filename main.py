@@ -162,8 +162,11 @@ def main():
             make_graph_mesh,
         )
 
-        assert cfg.train_which == "TeacherGNN", (
-            "--n_devices>1 currently shards the TeacherGNN trainer")
+        sharded_ok = ("TeacherGNN", "SEMLP", "StudentBaseMLP", "GraphMLP",
+                      "LP")
+        assert cfg.train_which in sharded_ok, (
+            f"--n_devices>1 supports train_which in {sharded_ok} "
+            "(the linkpred trainer shards via linkpred.model mesh= arg)")
         avail = len(jax.devices())
         assert n_devices <= avail, f"{n_devices} devices requested, {avail} present"
         mesh = make_graph_mesh(n_devices)

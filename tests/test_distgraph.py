@@ -146,6 +146,7 @@ def test_sharded_path_emits_no_scatter(rng):
     assert "scatter" not in hlo
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs_real_model():
     import importlib
     import sys
@@ -556,6 +557,7 @@ def test_dist_take_rows(rng):
     np.testing.assert_allclose(np.asarray(out), h[idx], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_edgewise_loss_2d_mesh_matches_single_device(rng):
     """Edgewise under a (graph x model) 2-D mesh: dist_take_rows keeps the
     feature dim sharded over the model axis; the DistMult scores must
@@ -580,6 +582,7 @@ def test_edgewise_loss_2d_mesh_matches_single_device(rng):
     np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_masked_final_layer_dist_padded_rows(rng):
     """The loss-masked final-layer DistGraph view with a padded row count
     (n=90 on a 4-shard rb=8 mesh -> n_node_pad=96) must reproduce the
@@ -603,3 +606,106 @@ def test_masked_final_layer_dist_padded_rows(rng):
     cfg_off = dataclasses.replace(cfg, optimize_final_layer_agg=False)
     r3 = loops.train_teacher(cfg_off, pd_dist, seed=3, epochs=3)
     np.testing.assert_allclose(r3.records, r1.records, rtol=1e-4, atol=1e-3)
+
+
+# --- round 4: the REST of the pipeline sharded (SEMLP / students / LP) ----
+
+
+def test_semlp_full_pipeline_sharded_matches_single_device(rng):
+    """run_experiment('SEMLP') on prepare_sharded data — teacher, SE
+    collection, part-1 distillation, part-2 latent-neighbor attention
+    (psum-merged per-shard top-k) — must reproduce the single-device
+    records (VERDICT r3 item 3)."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg, data = _teacher_setup(rng, n=90)
+    cfg = dataclasses.replace(cfg, dropout_MLP=0.0, batch_size=40,
+                              SEMLP_topK_2_replace=3)
+    r1 = loops.run_experiment(cfg, prepare(data, cfg), seed=5, epochs=3)
+
+    mesh = _mesh(4)
+    pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+    r2 = loops.run_experiment(cfg, pd, seed=5, epochs=3)
+
+    assert r1.columns == r2.columns
+    np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4, atol=1e-3)
+    # the part-1 phase must match too (distillation against the sharded
+    # SE table)
+    np.testing.assert_allclose(
+        r2.extra["part1"].records, r1.extra["part1"].records,
+        rtol=1e-4, atol=1e-3)
+
+
+def test_dist_latent_replace_matches_single_device(rng):
+    """The sharded top-k latent-neighbor op == the batched single-device op
+    on the same table (exact scores, psum-merged selection)."""
+    import jax.numpy as jnp
+
+    from gnn_tail_generalization_tpu.ops.topk_attention import (
+        latent_neighbor_replace, make_dist_latent_replace,
+    )
+
+    mesh = _mesh(4)
+    n_pad, n_valid, d, b, k = 64, 57, 12, 9, 4
+    se = rng.normal(size=(n_pad, d)).astype(np.float32)
+    se[n_valid:] = 7.7  # poison padding rows: masked out by n_valid
+    le = rng.normal(size=(b, d)).astype(np.float32)
+    ref = latent_neighbor_replace(jnp.asarray(le),
+                                  jnp.asarray(se[:n_valid]), k)
+    fn = make_dist_latent_replace(mesh, "graph", n_pad // 4, n_valid)
+    se_sh = jax.device_put(
+        jnp.asarray(se),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("graph")))
+    out = jax.jit(lambda le_, se_: fn(le_, se_, k))(jnp.asarray(le), se_sh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_students_and_pure_lp_sharded_match_single_device(rng):
+    """StudentBaseMLP / GraphMLP / pure label propagation on a mesh match
+    single-device (VERDICT r3 item 4: the rest of the dispatch)."""
+    from gnn_tail_generalization_tpu.data.datasets import (
+        prepare, prepare_sharded,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    mesh = _mesh(4)
+    for which in ("StudentBaseMLP", "GraphMLP", "LP"):
+        cfg, data = _teacher_setup(rng, n=90)
+        cfg = dataclasses.replace(cfg, train_which=which, dropout_MLP=0.0,
+                                  batch_size=40)
+        r1 = loops.run_experiment(cfg, prepare(data, cfg), seed=2, epochs=3)
+        pd = prepare_sharded(data, cfg, mesh, rb=8, eb=32)
+        r2 = loops.run_experiment(cfg, pd, seed=2, epochs=3)
+        if which == "LP":
+            assert r1 == r2, (r1, r2)
+        else:
+            np.testing.assert_allclose(r2.records, r1.records, rtol=1e-4,
+                                       atol=1e-3)
+
+
+def test_linkpred_sharded_matches_single_device(rng):
+    """train_linkpred(mesh=...) — DistGraph encode, psum endpoint gathers —
+    reproduces the single-device stats (identical RNG chain; ring-sum
+    reassociation within tolerance)."""
+    from gnn_tail_generalization_tpu.linkpred.model import (
+        LinkPredConfig, train_linkpred,
+    )
+
+    n, m = 90, 700
+    e = np.unique(rng.integers(0, n, (2, m)), axis=1)
+    e = e[:, e[0] != e[1]]
+    x = rng.normal(size=(n, 12)).astype(np.float32)
+    cfg = LinkPredConfig(encoder="SAGE", predictor="DOT", dropout=0.0,
+                         use_node_feats=True, train_node_emb=False,
+                         eval_metric="mrr", batch_size=64, num_neg=2)
+    r1 = train_linkpred(cfg, x, e, n, epochs=2, runs=1, seed=11)
+    mesh = _mesh(4)
+    r2 = train_linkpred(cfg, x, e, n, epochs=2, runs=1, seed=11,
+                        mesh=mesh, dist_rb=8, dist_eb=32)
+    for k in ("valid_mean", "test_mean"):
+        np.testing.assert_allclose(r2["stats"][k], r1["stats"][k],
+                                   rtol=1e-4)
