@@ -73,30 +73,48 @@ def _pagerank_power(a: ssp.csr_matrix, personalize: np.ndarray,
 
 
 def ppr_scores(a: ssp.csr_matrix, edge_index: np.ndarray,
-               p: float = 0.85, tol: float = 1e-7) -> np.ndarray:
+               p: float = 0.85, tol: float = 1e-7,
+               src_block: int = 256, max_iter: int = 200) -> np.ndarray:
     """PPR from each unique source, scored at its destinations
     (heuristics.py:131-163); returns scores in the ORIGINAL edge order
     (the reference returns them src-sorted — callers there re-zip with the
-    returned reordered edge list; here the re-zip is internal)."""
+    returned reordered edge list; here the re-zip is internal).
+
+    Blocked power iteration (round 4): ``src_block`` independent
+    personalization columns iterate simultaneously as ONE sparse x dense
+    product per step — W^T is built once as CSR, each column carries its
+    own one-hot restart and dangling-mass redistribution, and the block
+    stops when every column's l1 delta clears ``tol``. Same math as the
+    reference's per-source fast_pagerank loop (a column converged earlier
+    only keeps iterating a converged fixpoint); the per-source variant at
+    ogbl-collab scale would pay ~235k full-graph iterations PER SOURCE
+    GROUP sequentially."""
     e = np.asarray(edge_index)
-    order = np.argsort(e[0], kind="stable")
-    scores_sorted = np.zeros(e.shape[1])
-    i = 0
-    src_sorted = e[0][order]
-    dst_sorted = e[1][order]
     n = a.shape[0]
-    while i < len(src_sorted):
-        j = i
-        while j < len(src_sorted) and src_sorted[j] == src_sorted[i]:
-            j += 1
-        personalize = np.zeros(n)
-        personalize[src_sorted[i]] = 1.0
-        ppr = _pagerank_power(a, personalize, p, tol)
-        scores_sorted[i:j] = ppr[dst_sorted[i:j]]
-        i = j
-    out = np.zeros_like(scores_sorted)
-    out[order] = scores_sorted
-    return out
+    uniq = np.unique(e[0])
+    src_pos = np.searchsorted(uniq, e[0])
+    deg = np.asarray(a.sum(axis=1)).ravel()
+    with np.errstate(divide="ignore"):
+        dinv = np.where(deg > 0, 1.0 / deg, 0.0)
+    w_t = (ssp.diags(dinv) @ a).T.tocsr()
+    dangling = deg == 0
+    scores = np.zeros(e.shape[1])
+    for lo in range(0, len(uniq), src_block):
+        srcs = uniq[lo:lo + src_block]
+        b = len(srcs)
+        s = np.zeros((n, b))
+        s[srcs, np.arange(b)] = 1.0
+        x = s.copy()
+        for _ in range(max_iter):
+            dang = x[dangling].sum(axis=0)  # [b] lost mass per column
+            x_new = p * (w_t @ x + s * dang) + (1 - p) * s
+            delta = np.abs(x_new - x).sum(axis=0).max()
+            x = x_new
+            if delta < tol:
+                break
+        m = (src_pos >= lo) & (src_pos < lo + b)
+        scores[m] = x[e[1][m], src_pos[m] - lo]
+    return scores
 
 
 _HEURISTICS = {"CN": common_neighbors, "AA": adamic_adar, "PPR": ppr_scores}

@@ -1,4 +1,5 @@
 """Edge-level label propagation modes."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,7 @@ def test_run_xmc_lp_dedup_and_order(rng):
     np.testing.assert_allclose(float(out[5]), float(out[0]), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_linkpred_with_edge_lp_modes(rng):
     from gnn_tail_generalization_tpu.linkpred import model as lpm
 

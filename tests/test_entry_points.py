@@ -1,4 +1,5 @@
 """Driver-facing entry points: __graft_entry__ and bench harness wiring."""
+import pytest
 import numpy as np
 import jax
 
@@ -12,6 +13,7 @@ def test_graft_entry_compiles():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip_8():
     import __graft_entry__ as ge
 

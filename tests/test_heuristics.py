@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from gnn_tail_generalization_tpu.linkpred import heuristics as H
@@ -47,3 +48,58 @@ def test_heuristic_scores_dispatcher():
         s = H.heuristic_scores(name, e, 4, np.array([[0, 1], [2, 3]]))
         assert s.shape == (2,)
         assert np.isfinite(s).all()
+
+
+# --- round 4: blocked PPR + heuristics at scale ---------------------------
+
+
+def test_blocked_ppr_matches_per_source_power():
+    """The blocked multi-column power iteration == single-source
+    _pagerank_power per unique src (same math, tighter-stopped block)."""
+    rng = np.random.default_rng(0)
+    n = 60
+    e = core.symmetrize(
+        np.stack([rng.integers(0, n, 200), rng.integers(0, n, 200)]), n)
+    a = H.adjacency(e, n)
+    edges = np.stack([rng.integers(0, n, 40), rng.integers(0, n, 40)])
+    got = H.ppr_scores(a, edges, tol=1e-12, src_block=7)
+    for i in range(edges.shape[1]):
+        pers = np.zeros(n)
+        pers[edges[0, i]] = 1.0
+        ref = H._pagerank_power(a, pers, tol=1e-12, max_iter=200)
+        np.testing.assert_allclose(got[i], ref[edges[1, i]], rtol=1e-6,
+                                   atol=1e-12)
+
+
+@pytest.mark.slow
+def test_heuristics_at_100k_nodes():
+    """CN/AA/PPR on a 100k-node power-law graph (ogbl-collab is 235k —
+    same regime; VERDICT r3 item 5). Timed to RESULTS.md."""
+    import time
+
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph,
+    )
+
+    n, m = 100_000, 500_000
+    e = core.symmetrize(fast_powerlaw_graph(n, m, 0), n)
+    rng = np.random.default_rng(1)
+    edges = np.stack([rng.integers(0, n, 20_000),
+                      rng.integers(0, n, 20_000)])
+    a = H.adjacency(e, n)
+    t0 = time.time()
+    cn = H.common_neighbors(a, edges)
+    t_cn = time.time() - t0
+    t0 = time.time()
+    aa = H.adamic_adar(a, edges)
+    t_aa = time.time() - t0
+    # PPR over a 2k-source batch (the reference scores sampled splits too)
+    t0 = time.time()
+    ppr = H.ppr_scores(a, edges[:, :2000], tol=1e-6)
+    t_ppr = time.time() - t0
+    for s in (cn, aa, ppr):
+        assert np.isfinite(s).all()
+    assert cn.shape == (20_000,) and aa.shape == (20_000,)
+    assert (cn >= 0).all() and (aa >= 0).all() and (ppr >= 0).all()
+    print(f"\n100k-node heuristics: CN 20k edges {t_cn:.2f}s, "
+          f"AA {t_aa:.2f}s, PPR 2k edges {t_ppr:.2f}s")

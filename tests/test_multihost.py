@@ -112,6 +112,7 @@ print("MULTIHOST_OK", pid, err_y, err_dx, res.records[-1, 1], flush=True)
 """
 
 
+@pytest.mark.slow
 def test_two_process_group(tmp_path):
     worker = tmp_path / "worker.py"
     worker.write_text(WORKER)

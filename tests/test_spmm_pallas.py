@@ -1,4 +1,5 @@
 """Pallas segment-matmul SpMM vs dense reference (interpreter mode on CPU)."""
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -169,6 +170,7 @@ def test_spmm_packed_grad(rng):
                                atol=2e-2)
 
 
+@pytest.mark.slow
 def test_plan_powerlaw_production_geometry():
     """Power-law degree skew at Pubmed scale (19,717 nodes, ~200k directed
     edges after the loader pipeline) with the PRODUCTION plan geometry
@@ -206,6 +208,7 @@ def test_plan_powerlaw_production_geometry():
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_piecewise_plan_matches_unsplit():
     """Plans over the gather HBM budget split into block-aligned pieces
     (ogbl-scale OOM fix); piecewise execution must be bit-exact."""

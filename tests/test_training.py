@@ -142,6 +142,7 @@ def test_epoch_block_equivalence_keep_best(small_setup):
                                    rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_semlp_part2_grad_flows_only_to_part2_and_alphas(small_setup):
     """Reference semantics (MLP_model/__init__.py:107-108): part-1 output is
     detached — part-2 training must leave part-1 parameters untouched."""
@@ -187,6 +188,7 @@ def test_cs_pipeline_with_spectral(small_setup):
     assert np.isfinite(out["acc_test"])
 
 
+@pytest.mark.slow
 def test_multiseed_with_edgewise_loss(small_setup):
     """The vmapped population trainer now carries the edgewise (I2_GTL)
     auxiliary loss; records gain linkp_train/linkp_test columns."""
@@ -252,6 +254,7 @@ def test_graphmlp_sparse_adj_matches_dense():
                                dense[bidx][:, bidx], rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_graphmlp_trains_at_scale():
     """GraphMLP on a 100k+-node synthetic graph: the sparse-Ã^r path
     (VERDICT r2 missing #2) must train with finite records."""
