@@ -709,3 +709,43 @@ def test_linkpred_sharded_matches_single_device(rng):
     for k in ("valid_mean", "test_mean"):
         np.testing.assert_allclose(r2["stats"][k], r1["stats"][k],
                                    rtol=1e-4)
+
+
+def test_cs_double_correlation_sharded_matches_single_device(rng):
+    """Correct & Smooth's double_correlation stages on DistGraph DAD/AD
+    adjacencies == the single-device graphs (the scatter-free masked
+    forms are shape-agnostic; dist rows run padded)."""
+    import jax.numpy as jnp
+
+    from gnn_tail_generalization_tpu.propagation import correlation as corr
+
+    n = 90
+    e = np.stack([rng.integers(0, n, 500), rng.integers(0, n, 500)])
+    e = e[:, e[0] != e[1]]
+    y = rng.integers(0, 5, n)
+    model_out = rng.random((n, 5)).astype(np.float32)
+    model_out /= model_out.sum(1, keepdims=True)
+    label_idx = np.unique(rng.integers(0, n, 30))
+
+    dad, _, ad = corr.gen_normalized_adjs(e, n)
+    mesh = _mesh(4)
+    dadd = corr.gen_normalized_dist_adj(e, n, mesh, "DAD", rb=8, eb=32)
+    add = corr.gen_normalized_dist_adj(e, n, mesh, "AD", rb=8, eb=32)
+    npad = dadd.n_node_pad
+
+    for fn in (corr.double_correlation_autoscale,
+               corr.double_correlation_fixed):
+        res1, out1 = jax.jit(lambda yy, mo, li: fn(
+            yy, mo, li, li, dad, 0.8, 10, ad, 0.7, 10, 5))(
+            jnp.asarray(y), jnp.asarray(model_out), jnp.asarray(label_idx))
+        y_p = np.zeros(npad, np.int64)
+        y_p[:n] = y
+        mo_p = np.zeros((npad, 5), np.float32)
+        mo_p[:n] = model_out
+        res2, out2 = jax.jit(lambda yy, mo, li: fn(
+            yy, mo, li, li, dadd, 0.8, 10, add, 0.7, 10, 5))(
+            jnp.asarray(y_p), jnp.asarray(mo_p), jnp.asarray(label_idx))
+        np.testing.assert_allclose(np.asarray(out2)[:n], np.asarray(out1),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(res2)[:n], np.asarray(res1),
+                                   rtol=1e-4, atol=1e-5)
