@@ -237,3 +237,40 @@ def test_piecewise_plan_matches_unsplit():
         y2 = sp.spmm_via_plan(p2, jnp.asarray(x), interpret=faithful,
                               compute_dtype=dt)
         assert float(jnp.max(jnp.abs(y1 - y2))) == 0.0
+
+
+def test_choose_plan_rb_padding_model():
+    """choose_plan_rb picks a bigger row block when the mean
+    edges-per-block sits just above one eb chunk (the citation2 worst
+    case: rb=128 pads ~2x, rb=192 packs ~1.5 chunks/block)."""
+    rng = np.random.default_rng(0)
+    n = 4096
+    # ~9 edges per node -> ~1152 edges per 128-row block (just over 1024)
+    e = 9 * n
+    dst = rng.integers(0, n, e)
+    rb = sp.choose_plan_rb(dst, n, candidates=(128, 192), eb=1024)
+    assert rb == 192
+    # dense graph (~16k edges per 128-row block): padding is negligible
+    # at every rb, so the linear-in-rb kernel cost decides -> rb=128
+    dst2 = rng.integers(0, n, 128 * n)
+    assert sp.choose_plan_rb(dst2, n, candidates=(128, 192), eb=1024) == 128
+
+
+def test_spmm_non128_rb_matches_dense(rng):
+    """rb=192-class plans (rb not a multiple of 128) through build_plan +
+    both kernels: the BlockSpec/one-hot logic must not assume rb=128."""
+    g, dense = random_graph(rng, n=100, e=900)
+    x = rng.normal(size=(100, 64)).astype(np.float32)
+    for rb in (24, 48):  # rb % 8 == 0, not a power-of-two multiple of 128
+        plan = sp.build_plan(
+            np.asarray(g.senders), np.asarray(g.receivers),
+            np.asarray(g.edge_weight), g.n_node, rb=rb, eb=128,
+        )
+        assert plan.n_blocks == -(-100 // rb)
+        y = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True)
+        np.testing.assert_allclose(np.asarray(y), dense @ x,
+                                   rtol=1e-4, atol=1e-4)
+        yb = sp.spmm_via_plan(plan, jnp.asarray(x), interpret=True,
+                              compute_dtype=jnp.bfloat16)
+        np.testing.assert_allclose(np.asarray(yb), dense @ x,
+                                   rtol=3e-2, atol=3e-1)
