@@ -152,18 +152,27 @@ def global_neg_sample(rng, keys_sorted, n_node: int, num_samples: int,
     return jnp.stack([src, dst], axis=-1).reshape(num_samples, num_neg, 2)
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def global_perm_neg_sample(rng, keys_sorted, n_node: int, num_samples: int,
-                           num_neg: int):
+                           num_neg: int, perm_within: int = 0):
     """One uniform non-edge batch + (num_neg-1) permuted copies
-    (negative_sample.py:21-26,42-57)."""
+    (negative_sample.py:21-26,42-57). ``perm_within`` > 0 permutes within
+    consecutive groups of that size (epoch-batched draws: each step's
+    slice keeps the reference's permute-within-the-minibatch semantics)."""
     base = global_neg_sample(rng, keys_sorted, n_node, num_samples, 1)
     base = base[:, 0, :]  # [num_samples, 2]
+    grp = perm_within if perm_within else num_samples
+    assert num_samples % grp == 0, (num_samples, grp)
+    n_grp = num_samples // grp
     outs = [base]
     for i in range(num_neg - 1):
         k = jax.random.fold_in(rng, 100 + i)
-        perm = jax.random.permutation(k, num_samples)
-        outs.append(base[perm])
+        # independent permutation per group (per step when epoch-batched)
+        perms = jax.vmap(lambda kk: jax.random.permutation(kk, grp))(
+            jax.random.split(k, n_grp))
+        outs.append(jnp.take_along_axis(
+            base.reshape(n_grp, grp, 2), perms[:, :, None], axis=1
+        ).reshape(-1, 2))
     return jnp.stack(outs, axis=1)  # [num_samples, num_neg, 2]
 
 

@@ -55,7 +55,12 @@ int64_t plan_num_chunks(const int64_t* receivers_sorted, int64_t n_edge,
 
 // Build the chunked layout for the Pallas segment-matmul kernel.
 // Inputs are dst-sorted. Outputs sized n_chunks*eb (senders/dst_local/w)
-// and n_chunks (block_of_chunk/first_of_block); zero-filled padding.
+// and n_chunks (block_of_chunk/first_of_block). Padding slots carry
+// weight 0 (contribute nothing) and STRIPED sender indices
+// (slot * 2654435761 % n_node): long runs of one repeated gather address
+// serialize the XLA gather emitter (constant-index gathers measured 52
+// vs 86 Mrow/s at ogbl-citation2 scale, RESULTS.md round 4), so pads
+// must spread across the table like real edges do.
 void segment_matmul_plan(const int64_t* senders_sorted,
                          const int64_t* receivers_sorted,
                          const float* weights_sorted, int64_t n_edge,
@@ -92,7 +97,12 @@ void segment_matmul_plan(const int64_t* senders_sorted,
         out_dst_local[base + j] = (int32_t)(receivers_sorted[eidx] - b * rb);
         out_w[base + j] = weights_sorted[eidx];
       }
-      // padding stays zero (weight 0 contributes nothing)
+      // padding: weight/dst stay zero; senders striped (see above)
+      for (int64_t j = m; j < eb; ++j) {
+        out_senders[base + j] =
+            (int32_t)(((uint64_t)(base + j) * 2654435761ULL) %
+                      (uint64_t)n_node);
+      }
       out_block_of_chunk[ci] = (int32_t)b;
       out_first_of_block[ci] = (k == 0) ? 1 : 0;
     }

@@ -100,7 +100,7 @@ DEFAULT_MAX_GATHER_ROWS = 6_000_000
 class SegmentMatmulPlan:
     """Chunked edge layout for the kernel (host-built, device-resident)."""
 
-    senders: jax.Array  # [n_chunks * eb] int32, gather indices (pad -> 0)
+    senders: jax.Array  # [n_chunks * eb] int32 gather idx (pad -> striped)
     dst_local: jax.Array  # [n_chunks * eb] int32 in [0, rb)
     weights: jax.Array  # [n_chunks * eb] f32 (0 on padding)
     block_of_chunk: jax.Array  # [n_chunks] int32
@@ -219,7 +219,14 @@ def build_plan(
     chunks_per_block = np.maximum((counts + eb - 1) // eb, 1)
     n_chunks = int(chunks_per_block.sum())
 
-    senders = np.zeros((n_chunks, eb), np.int32)
+    # padding slots carry weight 0 (contribute nothing) and STRIPED sender
+    # indices: long runs of one repeated gather address serialize the XLA
+    # gather emitter (constant-index gathers measured 52 vs 86 Mrow/s at
+    # ogbl-citation2 scale, RESULTS.md round 4). Same formula as the C++
+    # path (bit-identical plans).
+    senders = ((np.arange(n_chunks * eb, dtype=np.uint64) *
+                np.uint64(2654435761)) % np.uint64(n_node)).astype(
+        np.int32).reshape(n_chunks, eb)
     dst_local = np.zeros((n_chunks, eb), np.int32)
     ws = np.zeros((n_chunks, eb), np.float32)
     block_of_chunk = np.zeros(n_chunks, np.int32)

@@ -220,6 +220,14 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
         if name == "block_of_chunk":
             out = np.full((s, s, n_chunks_max * width), n_blocks - 1,
                           np.int32)
+        elif name == "senders":
+            # striped pad senders, like build_plan's in-plan padding:
+            # a constant repeated gather address serializes the emitter
+            # (52 vs 86 Mrow/s measured, RESULTS.md round 4)
+            stripe = ((np.arange(n_chunks_max * width, dtype=np.uint64)
+                       * np.uint64(2654435761))
+                      % np.uint64(max(rows, 1))).astype(np.int32)
+            out = np.broadcast_to(stripe, (s, s, len(stripe))).copy()
         else:
             out = np.zeros((s, s, n_chunks_max * width),
                            np.float32 if name == "weights" else np.int32)
