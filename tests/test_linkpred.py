@@ -339,3 +339,41 @@ def test_neg_sample_with_membership_avoids_edges(rng):
     flat = np.asarray(neg).reshape(-1, 2)
     bad = sum((int(a), int(b)) in keys or a == b for a, b in flat)
     assert bad <= 2
+
+
+def test_global_perm_neg_sample_perm_within_groups():
+    """perm_within=g: copies are per-GROUP permutations of the base draw
+    (the epoch-batched path must preserve each step's permute-within-the-
+    minibatch semantics), with independent permutations across groups."""
+    n, total, grp = 101, 64, 16
+    e = ring_graph(n)
+    keys = jnp.asarray(sampling.edge_keys(e, n))
+    neg = np.asarray(sampling.global_perm_neg_sample(
+        jax.random.PRNGKey(3), keys, n, total, 3, grp))
+    assert neg.shape == (total, 3, 2)
+    base = neg[:, 0, :]
+    diff_perms = 0
+    for c in range(1, 3):
+        copy = neg[:, c, :]
+        perms = []
+        for g0 in range(0, total, grp):
+            b = base[g0:g0 + grp]
+            cp = copy[g0:g0 + grp]
+            # each group's copy is a permutation of its own base rows
+            bs = {tuple(r) for r in b.tolist()}
+            cs = {tuple(r) for r in cp.tolist()}
+            assert bs == cs
+            perms.append(tuple(map(tuple, cp.tolist())))
+        diff_perms += len(set(perms))
+    assert diff_perms > 4  # groups got distinct permutations
+
+
+def test_global_perm_neg_sample_default_whole_batch():
+    n, total = 101, 48
+    e = ring_graph(n)
+    keys = jnp.asarray(sampling.edge_keys(e, n))
+    neg = np.asarray(sampling.global_perm_neg_sample(
+        jax.random.PRNGKey(4), keys, n, total, 2))
+    base = {tuple(r) for r in neg[:, 0, :].tolist()}
+    copy = {tuple(r) for r in neg[:, 1, :].tolist()}
+    assert base == copy
