@@ -182,14 +182,21 @@ def make_naive_step(cfg, pd):
     return step, params, opt_state, const
 
 
-def time_step(step, params, opt_state, const, iters=16, windows=3):
+def time_step(step, params, opt_state, const, iters=16, windows=3,
+              rate_probe=None, rates_out=None):
     """Run ``iters`` optimizer steps inside ONE jitted lax.scan so tunnel
     dispatch latency does not pollute the per-step timing. Device data rides
     in as an argument (never a closure constant).
 
     Best-of-``windows``: the tunnel to the TPU intermittently degrades 3-5x
     for minutes at a time (CLAUDE.md), so one window can be hostage to a
-    bad stretch — the committed artifact takes the minimum of several."""
+    bad stretch — the committed artifact takes the minimum of several.
+
+    ``rate_probe``: optional nullary fn measuring the gather-emitter rate;
+    called INTERLEAVED with the timing windows (before the first, after
+    each) so the roofline denominator comes from the same tunnel window as
+    the step time (RESULTS.md round 4b methodology). Results append to
+    ``rates_out``."""
 
     @jax.jit
     def multi(params, opt_state, key, c):
@@ -210,6 +217,8 @@ def time_step(step, params, opt_state, const, iters=16, windows=3):
     params, opt_state, loss = multi(params, opt_state, jax.random.PRNGKey(7),
                                     const)
     assert np.isfinite(float(loss))
+    if rate_probe is not None:
+        rates_out.append(rate_probe())
     best = float("inf")
     for w in range(windows):
         t0 = time.perf_counter()
@@ -217,6 +226,8 @@ def time_step(step, params, opt_state, const, iters=16, windows=3):
                                         jax.random.PRNGKey(8 + w), const)
         float(loss)
         best = min(best, (time.perf_counter() - t0) / iters)
+        if rate_probe is not None:
+            rates_out.append(rate_probe())
     return best
 
 
@@ -365,8 +376,19 @@ def main():
 
     fw_step, fw_p, fw_o, fw_c = make_framework_step(cfg, pd)
     _log("framework step built (init compiled)")
-    t_fw = time_step(fw_step, fw_p, fw_o, fw_c)
-    _log(f"framework timed: {t_fw*1e3:.2f} ms/step")
+    # in-run floor calibration (VERDICT r4 next #2): the emitter rate is
+    # table-size- and window-dependent (169k table: 201-320 Mrow/s,
+    # RESULTS.md round 4), so the roofline denominator is measured at THIS
+    # table size, interleaved with the timing windows; fastest rate wins
+    # (largest denominator -> most conservative pct_of_floor).
+    from gnn_tail_generalization_tpu.utils.debug import measure_gather_rate
+
+    rates = []
+    probe = lambda: measure_gather_rate(cfg.N_nodes, rows=2_800_000)
+    t_fw = time_step(fw_step, fw_p, fw_o, fw_c, rate_probe=probe,
+                     rates_out=rates)
+    _log(f"framework timed: {t_fw*1e3:.2f} ms/step; gather rates "
+         f"{[round(r) for r in rates]} Mrow/s")
 
     nv_step, nv_p, nv_o, nv_c = make_naive_step(cfg, pd)
     _log("naive step built")
@@ -378,15 +400,17 @@ def main():
     # layers x fwd+bwd); each moves ~3 passes of the packed [E_pad, 128]
     # f32 gather stream (random read + write + kernel re-read) plus the
     # [N, d] output. Report effective GB/s against the 819 GB/s v5e HBM
-    # peak and against the measured ~320 Mrow/s gather-emitter row floor,
-    # so vs_baseline (vs the in-repo naive scatter port) is not the only
+    # peak and against the IN-RUN measured gather-emitter row floor
+    # (interleaved with the timing windows, fastest rate wins), so
+    # vs_baseline (vs the in-repo naive scatter port) is not the only
     # headline.
     plans = getattr(pd.graph, "plans", None)
     e_pad = (plans[0].n_chunks * plans[0].eb if plans
              else 1.13 * n_edges)  # actual plan padding when available
     spmm_bytes = 4 * (3 * e_pad * 128 * 4 + cfg.N_nodes * 256 * 4)
     hbm_peak = 819e9
-    emitter_floor_s = 4 * e_pad / 320e6
+    rate = max(rates)  # Mrow/s, in-run calibrated (not the old fixed 320)
+    emitter_floor_s = 4 * e_pad / (rate * 1e6)
     print(json.dumps({
         "metric": "teacher_train_spmm_edges_per_s",
         "value": round(edges_per_s),
@@ -395,6 +419,7 @@ def main():
         "step_ms": round(t_fw * 1e3, 2),
         "effective_gbps": round(spmm_bytes / t_fw / 1e9, 1),
         "pct_hbm_peak": round(spmm_bytes / t_fw / hbm_peak * 100, 1),
+        "gather_rate_mrow_s_measured": round(rate, 1),
         "pct_gather_emitter_floor": round(emitter_floor_s / t_fw * 100, 1),
         # honesty notes (VERDICT r2 weak #6/#7): the metric times the bare
         # train step (fwd+bwd+Adam); the reference's full epoch adds an

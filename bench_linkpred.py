@@ -15,7 +15,7 @@ This script (round 4):
    table-size dependent — a fixed 320 Mrow/s constant measured at arxiv
    scale is the wrong floor here, RESULTS.md round 4);
 4. prints ONE JSON line with roofline fields mirroring bench.py's and
-   writes it to BENCH_LP_r04.json.
+   writes it to BENCH_LP_r05.json.
 
 Step anatomy (SAGE 2-layer, raw-feature input, round-4 design): layer-1
 aggregation is HOISTED (constant input -> loop invariant; encoders.py
@@ -37,35 +37,13 @@ def _log(*a):
 
 
 def measure_gather_rate(n_node, rows=4_000_000, seed=7):
-    """Best-of-2 rate (Mrow/s) for a 512B/128-lane f32 row gather from a
-    table with this benchmark's node count — the exact operand shape the
-    packed-pair SpMM's gather moves. Arguments (not closure constants:
-    lowering ships constants to the remote compiler)."""
-    import jax
-    import jax.numpy as jnp
+    """Shared in-run calibration primitive (utils/debug.py) — the same
+    methodology bench.py now uses (VERDICT r4 next #2)."""
+    from gnn_tail_generalization_tpu.utils.debug import (
+        measure_gather_rate as _mgr,
+    )
 
-    @jax.jit
-    def gather(x, idx):
-        return x[idx]
-
-    x = jax.jit(lambda k: jax.random.normal(k, (n_node, 128)))(
-        jax.random.PRNGKey(seed))
-    idx = jnp.asarray(
-        np.random.default_rng(seed).integers(0, n_node, rows), jnp.int32)
-    float(jnp.sum(gather(x, idx)))  # warm/compile
-    best = float("inf")
-    # 8 dispatches per sync: the tunnel's dispatch+sync round trip is
-    # ~30 ms (measured round 4) — at 2 dispatches it inflates the per-op
-    # time by ~15 ms, UNDERSTATING the rate and thereby overstating
-    # pct_of_floor. 8 dispatches cut the bias to <4 ms.
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(8):
-            out = gather(x, idx)
-        float(jnp.sum(out))
-        best = min(best, (time.perf_counter() - t0) / 8)
-    del x, idx
-    return rows / best / 1e6
+    return _mgr(n_node, rows=rows, seed=seed)
 
 
 def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
@@ -208,6 +186,56 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
         rates.append(measure_gather_rate(n_node))
     _log(f"scanned step: {step_ms:.0f} ms; warm {n_steps}-step epoch "
          f"(ONE dispatch+sync): {warm_epoch:.1f}s; rates {rates}")
+
+    # --- the REAL OGB citation2 eval protocol at scale (VERDICT r4 next
+    # #6): fixed 1000-negative lists per positive
+    # (/root/reference/Link_prediction_model/utils.py:43-91,
+    # trainer_link_prediction.py:230-236) — encode once, score
+    # [8192, 1000] negative destinations through the chunked predictor,
+    # grouped MRR. OGB's lists are uniform random destinations (possible
+    # collisions with true edges included), built per source node.
+    from gnn_tail_generalization_tpu.linkpred import metrics as M
+
+    n_eval_pos, n_neg_list = eval_pos, 1000
+    pos_eval = val.T[:n_eval_pos].astype(np.int64)
+    neg_dst = rng.integers(0, n_node, (n_eval_pos, n_neg_list))
+    neg_edges = np.stack(
+        [np.repeat(pos_eval[:, 0], n_neg_list), neg_dst.reshape(-1)],
+        axis=1)
+
+    @jax.jit
+    def encode_all_fn(params, c):
+        return model.apply({"params": params}, c["g"], c["x"], train=False,
+                           agg0=c["agg0"], method=model.encode)
+
+    @jax.jit
+    def predict_chunk(params, h, edges):
+        return model.apply({"params": params}, h[edges[:, 0]],
+                           h[edges[:, 1]], train=False,
+                           method=model.predict_pairs)
+
+    def ogb_eval():
+        h = encode_all_fn(params, const)
+        chunk = 512 * 1024
+        outs = [predict_chunk(params, h, jnp.asarray(pos_eval))]
+        m = len(neg_edges)
+        for s0 in range(0, m, chunk):
+            idx = (s0 + np.arange(chunk)) % m
+            outs.append(predict_chunk(params, h, jnp.asarray(
+                neg_edges[idx])))
+        pos_s = np.asarray(outs[0])
+        neg_s = np.concatenate([np.asarray(o) for o in outs[1:]])[:m]
+        return pos_s, neg_s.reshape(n_eval_pos, n_neg_list)
+
+    pos_s, neg_s = ogb_eval()  # compile + warm
+    t0 = time.perf_counter()
+    pos_s, neg_s = ogb_eval()
+    mrr_1000 = M.mrr(jnp.asarray(pos_s), jnp.asarray(neg_s))
+    ogb_eval_s = time.perf_counter() - t0
+    _log(f"OGB 1000-neg eval: {n_eval_pos} pos x {n_neg_list} negs in "
+         f"{ogb_eval_s:.2f}s (warm, incl. full-graph encode), "
+         f"MRR={mrr_1000:.4f}")
+    assert np.isfinite(mrr_1000)
     del params, opt_state, const, agg0
 
     rate = max(rates)
@@ -225,8 +253,17 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
         "encoder": "SAGE", "predictor": "DOT",
         "mrr_test": round(float(mrr_test), 4),
         "eval_protocol": f"MRR over {num_neg_eval} sampled uniform "
-                         "negatives per positive (OGB citation2 uses "
-                         "fixed 1000-negative lists)",
+                         "negatives per positive (train-loop eval); the "
+                         "fixed-1000-negative OGB protocol is timed "
+                         "separately below",
+        "ogb_1000neg_eval": {
+            "n_pos": n_eval_pos, "n_neg_per_pos": n_neg_list,
+            "mrr": round(float(mrr_1000), 4),
+            "warm_eval_s": round(ogb_eval_s, 2),
+            "definition": "full-graph encode + chunked predict of "
+                          "[8192 pos + 8192x1000 neg] pairs, grouped "
+                          "MRR (utils.py:43-91 protocol)",
+        },
         "wall_s_2epochs_8steps_cold": round(wall, 1),
         "warm_epoch_steps": n_steps,
         "warm_epoch_s": round(warm_epoch, 2),
@@ -244,7 +281,7 @@ def main(n_node=2_927_963, n_edge=30_387_995 // 2, n_feat=128,
     }
     line = json.dumps(rec)
     print(line)
-    with open("BENCH_LP_r04.json", "w") as f:
+    with open("BENCH_LP_r05.json", "w") as f:
         f.write(line + "\n")
 
 

@@ -213,3 +213,48 @@ def write_fake_planetoid_raw(root: str, name: str = "cora",
                fmt="%d")
     assert n_test == len(test_idx)
     return d
+
+
+def write_fake_ogbn_arxiv_raw(root: str, n_node: int = 169343,
+                              n_feat: int = 128, n_class: int = 40,
+                              n_edge: int = 1_166_243,
+                              seed: int = 0) -> str:
+    """Write a FULL-SIZE fake ogbn-arxiv raw CSV set (edge.csv.gz,
+    node-feat.csv.gz, node-label.csv.gz, split/time/{train,valid,test})
+    so the best-config arxiv teacher protocol
+    (/root/reference/base_options.py:412, 71.54) can be dry-run through
+    the real loader (data/ogb.py:load_ogbn_arxiv) at real dimensions on a
+    zero-egress image. Labels are class-clustered into the features so
+    the fake task is learnable. Returns the dataset dir."""
+    import gzip
+    import os
+
+    rng = np.random.default_rng(seed)
+    d = os.path.join(root, "ogbn_arxiv")
+    raw = os.path.join(d, "raw")
+    split = os.path.join(d, "split", "time")
+    os.makedirs(raw, exist_ok=True)
+    os.makedirs(split, exist_ok=True)
+
+    y = rng.integers(0, n_class, n_node)
+    x = (rng.standard_normal((n_node, n_feat)) * 0.1).astype(np.float32)
+    x[np.arange(n_node), y % n_feat] += 1.0
+    e = fast_powerlaw_graph(n_node, n_edge, seed)
+
+    def _save(path, arr, fmt):
+        with gzip.open(path, "wt") as f:
+            np.savetxt(f, arr, fmt=fmt, delimiter=",")
+
+    _save(os.path.join(raw, "edge.csv.gz"), e.T, "%d")
+    _save(os.path.join(raw, "node-feat.csv.gz"), x, "%.3f")
+    _save(os.path.join(raw, "node-label.csv.gz"), y[:, None], "%d")
+    _save(os.path.join(raw, "node_year.csv.gz"),
+          rng.integers(2005, 2021, (n_node, 1)), "%d")
+    perm = rng.permutation(n_node)
+    # arxiv's real split sizes: 90941 / 29799 / 48603
+    bounds = (90941, 90941 + 29799)
+    _save(os.path.join(split, "train.csv.gz"), perm[:bounds[0], None], "%d")
+    _save(os.path.join(split, "valid.csv.gz"),
+          perm[bounds[0]:bounds[1], None], "%d")
+    _save(os.path.join(split, "test.csv.gz"), perm[bounds[1]:, None], "%d")
+    return d

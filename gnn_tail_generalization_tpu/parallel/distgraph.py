@@ -558,6 +558,116 @@ def masked_dist_graph(g: DistGraph, mask: jax.Array) -> DistGraph:
     )
 
 
+def comm_volume_stats(edge_index: np.ndarray, n_node: int, n_shards: int,
+                      d_feat: int = 128, itemsize: int = 4,
+                      rb: int = 128) -> dict:
+    """Communication accounting for one ``dist_spmm`` over an S-shard ring
+    vs the partition's halo lower bound (VERDICT r4 next #4).
+
+    The ring ppermutes each device's FULL [rows_per_shard, d] feature block
+    S-1 times, so the volume is deterministic (no runtime counter needed):
+
+      ring_rows  = (S-1) * n_node_pad          rows moved per SpMM
+      ring_bytes = ring_rows * d_feat * itemsize
+
+    The information-theoretic floor for a point-to-point exchange is the
+    HALO: for each (dst_shard k, src_shard j != k) bucket, shard k needs
+    each distinct off-shard source row once:
+
+      halo_rows  = sum_{k != j} |unique senders in bucket (k, j)|
+
+    ``ring_over_halo`` = ring_rows / halo_rows is the ring's volume
+    overhead. On power-law graphs at small S the halo approaches
+    (S-1)/S * E_unique-ish saturation (hubs are needed by every shard), so
+    the ring's dense block streaming is close to optimal precisely when
+    the graph is dense/hubby per shard; the stat makes that check
+    quantitative (tests/test_distgraph.py asserts it on power-law graphs
+    at 2/4/8 shards).
+
+    Returns a dict with rows/bytes for both, per-shard maxima (the ring is
+    bulk-synchronous: the slowest link paces every step), and
+    ``project_scaling_efficiency`` inputs. Reference: none — the reference
+    is single-GPU (trainer_node_classification.py:258)."""
+    e = np.asarray(edge_index, np.int64)
+    n_node_pad = _round_up(n_node, n_shards * rb)
+    rows = n_node_pad // n_shards
+    dst_shard = e[1] // rows
+    src_shard = e[0] // rows
+    halo_rows = 0
+    halo_per_dst = np.zeros(n_shards, np.int64)
+    for k in range(n_shards):
+        for j in range(n_shards):
+            if k == j:
+                continue
+            m = (dst_shard == k) & (src_shard == j)
+            u = len(np.unique(e[0][m]))
+            halo_rows += u
+            halo_per_dst[k] += u
+    ring_rows = (n_shards - 1) * n_node_pad
+    return {
+        "n_shards": n_shards,
+        "n_node_pad": int(n_node_pad),
+        "rows_per_shard": int(rows),
+        "ring_rows_per_spmm": int(ring_rows),
+        "ring_bytes_per_spmm": int(ring_rows * d_feat * itemsize),
+        "ring_bytes_per_chip_per_spmm": int(
+            (n_shards - 1) * rows * d_feat * itemsize),
+        "halo_rows_lower_bound": int(halo_rows),
+        "halo_bytes_lower_bound": int(halo_rows * d_feat * itemsize),
+        "halo_rows_max_dst_shard": int(halo_per_dst.max()),
+        "ring_over_halo": float(ring_rows / max(halo_rows, 1)),
+    }
+
+
+def project_scaling_efficiency(step_ms_1chip: float, n_spmm_per_step: int,
+                               stats: dict, d_feat: int = 128,
+                               itemsize: int = 4,
+                               ici_gbps: float = 45.0,
+                               dcn_gbps_per_chip: float = 3.125,
+                               dcn_links: int = 0) -> dict:
+    """Projected S-chip scaling efficiency from the measured 1-chip step
+    and the ring volume model (the only attainable evidence toward the
+    >=80% 2-host target in an image with one real chip — BASELINE.md).
+
+    Model: compute scales 1/S (edges split across shards); each SpMM adds
+    S-1 ring hops of [rows_per_shard, d] blocks. Per hop every chip
+    sends/receives one block concurrently, so hop time = block_bytes /
+    link_bw; with ``dcn_links`` > 0 of the S ring links crossing DCN, the
+    bulk-synchronous ring is paced by the slowest link. Overlap credit is
+    0 (conservative: dist_spmm does overlap ppermute with the local
+    segment-matmul, but the projection must not assume it hides
+    everything).
+
+    Bandwidth assumptions (documented, adjustable): v5e ICI = 45 GB/s per
+    link per direction (one hop uses one link); DCN = 25 GB/s per host /
+    8 chips = 3.125 GB/s per chip when a hop crosses hosts.
+
+    efficiency = T_1 / (S * T_S),  T_S = T_1/S + n_spmm * t_ring."""
+    s = stats["n_shards"]
+    block_bytes = stats["rows_per_shard"] * d_feat * itemsize
+    hop_ici_ms = block_bytes / (ici_gbps * 1e9) * 1e3
+    hop_dcn_ms = block_bytes / (dcn_gbps_per_chip * 1e9) * 1e3
+    # per ring step, ALL chips exchange concurrently; the step is paced by
+    # the slowest participating link. dcn_links of the S ring links cross
+    # DCN; a hop is DCN-paced whenever any block crosses one of them.
+    hop_ms = hop_dcn_ms if dcn_links > 0 else hop_ici_ms
+    t_ring_ms = (s - 1) * hop_ms
+    t_s = step_ms_1chip / s + n_spmm_per_step * t_ring_ms
+    eff = step_ms_1chip / (s * t_s)
+    return {
+        "t_step_projected_ms": round(t_s, 3),
+        "t_ring_per_spmm_ms": round(t_ring_ms, 3),
+        "hop_ms": round(hop_ms, 4),
+        "efficiency": round(eff, 4),
+        "assumptions": {
+            "ici_gbps_per_link": ici_gbps,
+            "dcn_gbps_per_chip": dcn_gbps_per_chip,
+            "dcn_links_in_ring": dcn_links,
+            "overlap_credit": 0.0,
+        },
+    }
+
+
 def global_put(a: np.ndarray, sharding: NamedSharding) -> jax.Array:
     """Multi-process-safe device placement: every process holds the same
     full host array (SPMD data build) and contributes only its addressable

@@ -63,6 +63,44 @@ def assert_finite(tree: Any, name: str = "pytree") -> None:
         raise FloatingPointError(f"non-finite values in {name}: {bad}")
 
 
+def measure_gather_rate(n_node: int, rows: int = 4_000_000, seed: int = 7,
+                        idx: np.ndarray | None = None,
+                        repeats: int = 2) -> float:
+    """Best-of-``repeats`` rate (Mrow/s) for a 512B/128-lane f32 row gather
+    from an ``n_node``-row table — the exact operand shape the packed-pair
+    SpMM's gather moves. This is the bench-roofline calibration primitive:
+    the emitter rate is TABLE-SIZE and WINDOW dependent (169k-row table:
+    201-320 Mrow/s; 2.9M-row: 135-211 — RESULTS.md round 4), so a fixed
+    constant is the wrong floor at any other scale or minute.
+
+    ``idx``: optional explicit gather stream (e.g. real plan senders) —
+    defaults to fresh uniform draws. Methodology (RESULTS.md round 4b):
+    8 dispatches per host sync (the tunnel round trip is ~30 ms; fewer
+    dispatches understate the rate and overstate pct_of_floor), data
+    passed as arguments (never closure constants), sync via float(sum).
+    """
+
+    @jax.jit
+    def gather(x, i):
+        return x[i]
+
+    x = jax.jit(lambda k: jax.random.normal(k, (n_node, 128)))(
+        jax.random.PRNGKey(seed))
+    if idx is None:
+        idx = np.random.default_rng(seed).integers(0, n_node, rows)
+    rows = len(idx)
+    i = jnp.asarray(idx, jnp.int32)
+    float(jnp.sum(gather(x, i)))  # warm/compile
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            out = gather(x, i)
+        float(jnp.sum(out))
+        best = min(best, (time.perf_counter() - t0) / 8)
+    return rows / best / 1e6
+
+
 def spmm_edges_per_sec(g, x, method: str = "auto", iters: int = 10) -> float:
     """Measured SpMM throughput in edges/s (host-readback synced — see the
     axon-tunnel sync note in bench.py)."""

@@ -749,3 +749,41 @@ def test_cs_double_correlation_sharded_matches_single_device(rng):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(np.asarray(res2)[:n], np.asarray(res1),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_comm_volume_stats_power_law():
+    """Ring volume accounting vs the partition halo lower bound on
+    power-law graphs at 2/4/8 shards (VERDICT r4 next #4): the halo bound
+    must never exceed the ring volume, the ring's overhead must stay
+    bounded (hubs are needed by every shard, so block streaming is near
+    the bound at small S), and the numbers must be exact on a hand-built
+    case."""
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph,
+    )
+    from gnn_tail_generalization_tpu.graph.core import symmetrize
+
+    n = 4096
+    e = symmetrize(fast_powerlaw_graph(n, 20_000, 3), n)
+    for s in (2, 4, 8):
+        st = dgm.comm_volume_stats(e, n, s, rb=8)
+        assert st["halo_rows_lower_bound"] <= st["ring_rows_per_spmm"]
+        assert st["ring_over_halo"] < 3.0, st  # power-law: near the bound
+        assert st["halo_rows_max_dst_shard"] * s >= (
+            st["halo_rows_lower_bound"])  # max >= mean
+
+    # exact hand case: 4 nodes, 2 shards, edges 0->2, 0->3, 1->2 (dst
+    # shard 1, src shard 0: unique senders {0, 1}) and 2->0 (dst shard 0,
+    # src shard 1: unique {2}) -> halo = 3 rows
+    e2 = np.array([[0, 0, 1, 2], [2, 3, 2, 0]])
+    st = dgm.comm_volume_stats(e2, 4, 2, rb=2)
+    assert st["halo_rows_lower_bound"] == 3
+    assert st["n_node_pad"] == 4 and st["rows_per_shard"] == 2
+    assert st["ring_rows_per_spmm"] == 4  # (S-1) * n_node_pad
+    assert st["ring_bytes_per_spmm"] == 4 * 128 * 4
+
+    proj = dgm.project_scaling_efficiency(41.0, 4, st)
+    assert 0 < proj["efficiency"] <= 1.0
+    # DCN-crossing rings are paced by the slower link
+    proj_dcn = dgm.project_scaling_efficiency(41.0, 4, st, dcn_links=1)
+    assert proj_dcn["efficiency"] < proj["efficiency"]

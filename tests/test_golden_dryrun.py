@@ -117,3 +117,159 @@ def test_golden_protocol_dryrun_semlp_isolation(fake_cora_root):
     assert np.isfinite(res.records).all()
     print(f"\ngolden dryrun SEMLP: full pipeline in {wall:.1f}s, "
           f"best iso {res.best('iso'):.2f}")
+
+
+# ---- round 5: every remaining published golden row (VERDICT r4 next #5) --
+
+
+@pytest.fixture(scope="module")
+def fake_citeseer_root(tmp_path_factory):
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        write_fake_planetoid_raw,
+    )
+
+    root = tmp_path_factory.mktemp("fakedata_cs")
+    write_fake_planetoid_raw(str(root), "citeseer", n_node=3327,
+                             n_feat=3703, n_class=6, n_allx=2327,
+                             n_train=120, n_edge_und=4552)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def fake_pubmed_root(tmp_path_factory):
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        write_fake_planetoid_raw,
+    )
+
+    root = tmp_path_factory.mktemp("fakedata_pm")
+    write_fake_planetoid_raw(str(root), "pubmed", n_node=19717, n_feat=500,
+                             n_class=3, n_allx=18717, n_train=60,
+                             n_edge_und=44324)
+    return str(root)
+
+
+def _run_teacher_dryrun(root, dataset, n_node, n_feat, **over):
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import (
+        load_dataset, prepare,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg = build_config(dataset=dataset, train_which="TeacherGNN",
+                       want_headtail=True, num_layers=2,
+                       use_special_split=True, **over)
+    data = load_dataset(cfg, root)
+    assert data.name == dataset and data.x.shape == (n_node, n_feat)
+    pd = prepare(data, cfg)
+    t0 = time.time()
+    res = loops.train_teacher(cfg, pd, seed=0, epoch_block=100)
+    wall = time.time() - t0
+    assert res.records.shape[0] == cfg.epochs
+    assert np.isfinite(res.records).all()
+    chance = 100.0 / cfg.num_classes
+    assert res.best("acc_test") > chance + 5
+    print(f"\ngolden dryrun {dataset} SE={over.get('whetherHasSE')}: "
+          f"{cfg.epochs} epochs in {wall:.1f}s, "
+          f"best acc_test {res.best('acc_test'):.2f}")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_citeseer_traditional(fake_citeseer_root):
+    """readme.md:49 — Citeseer traditional GCN (SE=000): 69.7."""
+    _run_teacher_dryrun(fake_citeseer_root, "Citeseer", 3327, 3703,
+                        whetherHasSE="000")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_citeseer_coldbrew(fake_citeseer_root):
+    """readme.md:57 — Citeseer CB teacher (SE=100, se_reg=0.5): 71.40."""
+    _run_teacher_dryrun(fake_citeseer_root, "Citeseer", 3327, 3703,
+                        whetherHasSE="100", se_reg=0.5)
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_pubmed_traditional(fake_pubmed_root):
+    """readme.md:51 — Pubmed traditional GCN (SE=000): 78.2."""
+    _run_teacher_dryrun(fake_pubmed_root, "Pubmed", 19717, 500,
+                        whetherHasSE="000")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_pubmed_coldbrew(fake_pubmed_root):
+    """readme.md:59 — Pubmed CB teacher (SE=111, se_reg=0.5): 78.2."""
+    _run_teacher_dryrun(fake_pubmed_root, "Pubmed", 19717, 500,
+                        whetherHasSE="111", se_reg=0.5)
+
+
+def _run_student_dryrun(fake_cora_root, train_which):
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import (
+        load_dataset, prepare,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    cfg = build_config(dataset="Cora", train_which=train_which,
+                       want_headtail=True, use_special_split=True)
+    data = load_dataset(cfg, fake_cora_root)
+    assert data.name == "Cora"
+    pd = prepare(data, cfg)
+    t0 = time.time()
+    res = loops.run_experiment(cfg, pd, seed=0, epoch_block=100)
+    wall = time.time() - t0
+    assert "iso" in res.columns
+    assert np.isfinite(res.records).all()
+    print(f"\ngolden dryrun {train_which}: {wall:.1f}s, "
+          f"best iso {res.best('iso'):.2f}")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_studentbasemlp(fake_cora_root):
+    """readme.md:65 — naive MLP (StudentBaseMLP), isolation 61.80."""
+    _run_student_dryrun(fake_cora_root, "StudentBaseMLP")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_graphmlp(fake_cora_root):
+    """readme.md:69 — GraphMLP, isolation 68.63."""
+    _run_student_dryrun(fake_cora_root, "GraphMLP")
+
+
+@pytest.mark.slow
+def test_golden_protocol_dryrun_arxiv_best_config(tmp_path_factory):
+    """base_options.py:412 — ogbn-arxiv best-config teacher (71.54) at
+    real dims (169343 x 128) through the real OGB CSV loader on a
+    generated fake raw set. Trains a SHORT run (50 epochs, block 25) —
+    the full 1500-epoch protocol at arxiv scale is a bench-length TPU
+    job, not a CPU test; the data-drop-day surface under test is the
+    loader + best-config pipeline + full-size training step."""
+    from gnn_tail_generalization_tpu.config import build_config
+    from gnn_tail_generalization_tpu.data.datasets import (
+        load_dataset, prepare,
+    )
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        write_fake_ogbn_arxiv_raw,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    root = tmp_path_factory.mktemp("fakedata_arxiv")
+    t0 = time.time()
+    write_fake_ogbn_arxiv_raw(str(root))
+    t_write = time.time() - t0
+
+    cfg = build_config(dataset="ogbn-arxiv", train_which="TeacherGNN",
+                       force_set_to_best_config=True, epochs=50)
+    t0 = time.time()
+    data = load_dataset(cfg, str(root))
+    t_load = time.time() - t0
+    assert data.name == "ogbn-arxiv"
+    assert data.x.shape == (169343, 128)
+    assert int(data.train_mask.sum()) == 90941
+    pd = prepare(data, cfg)
+    t0 = time.time()
+    res = loops.train_teacher(cfg, pd, seed=0, epoch_block=25)
+    wall = time.time() - t0
+    assert np.isfinite(res.records).all()
+    assert res.best("acc_test") > 100.0 / 40 + 3
+    print(f"\ngolden dryrun arxiv best-config: write {t_write:.1f}s "
+          f"load {t_load:.1f}s train(50ep) {wall:.1f}s, "
+          f"best acc_test {res.best('acc_test'):.2f}")
