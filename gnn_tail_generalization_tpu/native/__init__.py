@@ -111,13 +111,21 @@ def segment_matmul_plan_arrays(senders_sorted, receivers_sorted,
     w = np.ascontiguousarray(weights_sorted, np.float32)
     n_edge = len(s)
     n_chunks = int(lib.plan_num_chunks(r, n_edge, n_node, rb, eb))
-    out_s = np.zeros(n_chunks * eb, np.int32)
+    # +8 striped tail slots: a gather whose row count is an exact
+    # multiple of 1024 runs at HALF the emitter rate (v5e, measured —
+    # ops/spmm_pallas.GATHER_TAIL_PAD); the kernel never reads the tail
+    tail = 8
+    out_s = np.zeros(n_chunks * eb + tail, np.int32)
     out_d = np.zeros(n_chunks * eb, np.int32)
     out_w = np.zeros(n_chunks * eb, np.float32)
     out_b = np.zeros(n_chunks, np.int32)
     out_f = np.zeros(n_chunks, np.int32)
     lib.segment_matmul_plan(s, r, w, n_edge, n_node, rb, eb,
                             out_s, out_d, out_w, out_b, out_f)
+    base = n_chunks * eb
+    out_s[base:] = ((np.arange(base, base + tail, dtype=np.uint64)
+                     * np.uint64(2654435761))
+                    % np.uint64(n_node)).astype(np.int32)
     return out_s, out_d, out_w, out_b, out_f, n_chunks
 
 

@@ -88,6 +88,17 @@ def _round_up(x: int, m: int) -> int:
 #: block (output-revisit safety).
 DEFAULT_MAX_GATHER_ROWS = 6_000_000
 
+#: extra striped sender slots appended to every plan's (and piece's)
+#: gather stream. XLA's TPU row-gather emitter drops to HALF rate when
+#: the gathered row count is an exact multiple of 1024 (v5e, measured
+#: round 5: 4,000,000 rows -> 208 Mrow/s, 3,999,744 (=1024*3906) -> 93,
+#: +8 rows -> 209; multiples of 512/256/128 are unaffected). Plans are
+#: n_chunks*1024 rows by construction — exactly the pathological case —
+#: so every gather runs over R+8 rows; the kernel's BlockSpec grid
+#: covers only the first n_chunks*eb rows (Mosaic allows operands larger
+#: than the grid's coverage; validated on silicon, bit-identical y).
+GATHER_TAIL_PAD = 8
+
 
 @partial(
     jax.tree_util.register_dataclass,
@@ -100,7 +111,9 @@ DEFAULT_MAX_GATHER_ROWS = 6_000_000
 class SegmentMatmulPlan:
     """Chunked edge layout for the kernel (host-built, device-resident)."""
 
-    senders: jax.Array  # [n_chunks * eb] int32 gather idx (pad -> striped)
+    senders: jax.Array  # [n_chunks*eb + GATHER_TAIL_PAD] int32 gather idx
+    #                     (pad slots + tail -> striped; the tail defeats
+    #                     the 1024-multiple gather-emitter penalty)
     dst_local: jax.Array  # [n_chunks * eb] int32 in [0, rb)
     weights: jax.Array  # [n_chunks * eb] f32 (0 on padding)
     block_of_chunk: jax.Array  # [n_chunks] int32
@@ -223,10 +236,13 @@ def build_plan(
     # indices: long runs of one repeated gather address serialize the XLA
     # gather emitter (constant-index gathers measured 52 vs 86 Mrow/s at
     # ogbl-citation2 scale, RESULTS.md round 4). Same formula as the C++
-    # path (bit-identical plans).
-    senders = ((np.arange(n_chunks * eb, dtype=np.uint64) *
-                np.uint64(2654435761)) % np.uint64(n_node)).astype(
-        np.int32).reshape(n_chunks, eb)
+    # path (bit-identical plans). The flat array carries GATHER_TAIL_PAD
+    # extra striped slots (1024-multiple penalty, see constant above).
+    senders_flat = ((np.arange(n_chunks * eb + GATHER_TAIL_PAD,
+                               dtype=np.uint64) *
+                     np.uint64(2654435761)) % np.uint64(n_node)).astype(
+        np.int32)
+    senders = senders_flat[: n_chunks * eb].reshape(n_chunks, eb)
     dst_local = np.zeros((n_chunks, eb), np.int32)
     ws = np.zeros((n_chunks, eb), np.float32)
     block_of_chunk = np.zeros(n_chunks, np.int32)
@@ -255,7 +271,7 @@ def build_plan(
     pb, pbb = _piece_split(block_of_chunk, n_chunks, n_blocks, eb,
                            max_gather_rows)
     return SegmentMatmulPlan(
-        senders=jnp.asarray(senders.reshape(-1)),
+        senders=jnp.asarray(senders_flat),
         dst_local=jnp.asarray(dst_local.reshape(-1)),
         weights=jnp.asarray(ws.reshape(-1)),
         block_of_chunk=jnp.asarray(block_of_chunk),
@@ -441,7 +457,10 @@ def _piece_view(plan: SegmentMatmulPlan, i: int) -> SegmentMatmulPlan:
     b0, b1 = plan.piece_block_bounds[i], plan.piece_block_bounds[i + 1]
     eb = plan.eb
     return SegmentMatmulPlan(
-        senders=plan.senders[c0 * eb: c1 * eb],
+        # the +GATHER_TAIL_PAD rows keep every piece's gather row count
+        # off the 1024-multiple emitter cliff; the kernel grid never
+        # reads them
+        senders=plan.senders[c0 * eb: c1 * eb + GATHER_TAIL_PAD],
         dst_local=plan.dst_local[c0 * eb: c1 * eb],
         weights=plan.weights[c0 * eb: c1 * eb],
         block_of_chunk=plan.block_of_chunk[c0:c1] - b0,
@@ -454,23 +473,32 @@ def _piece_view(plan: SegmentMatmulPlan, i: int) -> SegmentMatmulPlan:
     )
 
 
+#: how many pieces may be in flight in _run_piecewise. 1 = strictly
+#: serial (the round-3/4 behavior: at most one [piece_rows, 128] gather
+#: stream live). 2 = lookahead-1 double buffering: piece i+1's gather is
+#: barrier-tied to piece i-1's output, so XLA may overlap piece i+1's
+#: gather with piece i's kernel at the cost of one extra live stream
+#: (~2 GB at 4M-row pieces). Callers sizing DEFAULT_MAX_GATHER_ROWS must
+#: budget PIECE_LOOKAHEAD streams.
+PIECE_LOOKAHEAD = 1
+
+
 def _run_piecewise(plan: SegmentMatmulPlan, run):
-    """Execute ``run(sub_plan)`` per piece, SEQUENTIALLY (an optimization
-    barrier ties each piece's gather to the previous piece's output, so
-    XLA's allocator never keeps two [piece_rows, 128] gather streams live
-    at once), and concatenate the disjoint output row ranges."""
+    """Execute ``run(sub_plan)`` per piece with at most PIECE_LOOKAHEAD
+    pieces in flight (optimization barriers tie each piece's gather to an
+    earlier piece's output, bounding how many [piece_rows, 128] gather
+    streams XLA's allocator keeps live), and concatenate the disjoint
+    output row ranges."""
     if not plan.piece_bounds:
         return run(plan)
     ys = []
-    token = None
     for i in range(len(plan.piece_bounds) - 1):
         p = _piece_view(plan, i)
-        if token is not None:
+        if i >= PIECE_LOOKAHEAD:
+            token = ys[i - PIECE_LOOKAHEAD][0, 0]
             s, _ = jax.lax.optimization_barrier((p.senders, token))
             p = dataclasses.replace(p, senders=s)
-        y = run(p)
-        token = y[0, 0]
-        ys.append(y)
+        ys.append(run(p))
     return jnp.concatenate(ys, axis=0)
 
 

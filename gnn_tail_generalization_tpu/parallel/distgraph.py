@@ -223,8 +223,14 @@ def _stack_bucket_plans(buckets, rows, rb, eb):
         elif name == "senders":
             # striped pad senders, like build_plan's in-plan padding:
             # a constant repeated gather address serializes the emitter
-            # (52 vs 86 Mrow/s measured, RESULTS.md round 4)
-            stripe = ((np.arange(n_chunks_max * width, dtype=np.uint64)
+            # (52 vs 86 Mrow/s measured, RESULTS.md round 4). Width
+            # carries the +GATHER_TAIL_PAD slots so each ring step's
+            # gather row count stays off the 1024-multiple emitter
+            # cliff (ops/spmm_pallas.GATHER_TAIL_PAD).
+            from ..ops.spmm_pallas import GATHER_TAIL_PAD
+
+            stripe = ((np.arange(n_chunks_max * width + GATHER_TAIL_PAD,
+                                 dtype=np.uint64)
                        * np.uint64(2654435761))
                       % np.uint64(max(rows, 1))).astype(np.int32)
             out = np.broadcast_to(stripe, (s, s, len(stripe))).copy()

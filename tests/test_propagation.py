@@ -4,6 +4,7 @@ import dataclasses
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from gnn_tail_generalization_tpu.config import build_config
 from gnn_tail_generalization_tpu.data.datasets import NodeData, prepare
@@ -165,3 +166,44 @@ def test_pre_step_embedding_cache(tmp_path, rng):
     assert files, "cache not written"
     b = cs.pre_step(cfg, pd, cache_dir=str(tmp_path))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_spectral_and_prestep_at_arxiv_scale():
+    """VERDICT r4 next #7: the scipy-Lanczos spectral embedding (the
+    Julia/Arpack replacement, norm_spec.jl:39-64) and the full C&S
+    PreStep concat (diffusion + spectral + community,
+    diffusion_feature.py:115-169) at ogbn-arxiv dimensions (169343
+    nodes, k=128). Measured on this image (RESULTS.md round 5):
+    spectral ~190 s, diffusion ~35 s, Louvain ~105 s."""
+    import time
+
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph,
+    )
+    from gnn_tail_generalization_tpu.propagation.diffusion import (
+        community_features, dad_adjacency, diffusion_features,
+        spectral_embedding,
+    )
+
+    n = 169_343
+    e = fast_powerlaw_graph(n, 1_166_243, 0)
+    t0 = time.time()
+    emb = spectral_embedding(e, n, 128)
+    t_spec = time.time() - t0
+    assert emb.shape == (n, 128) and np.isfinite(emb).all()
+    # eigenvector columns are orthonormal up to the SCDM rotation
+    g = emb.T @ emb
+    np.testing.assert_allclose(np.diag(g), 1.0, atol=1e-3)
+
+    x = np.random.default_rng(0).standard_normal((n, 64)).astype(
+        np.float32) * 0.1
+    adj = dad_adjacency(e, n)
+    d = diffusion_features(x, adj, 10)
+    assert np.isfinite(d).all()
+    c = community_features(e, n)
+    assert np.isfinite(c).all() and c.shape[0] == n
+    cat = np.concatenate([d, emb, c], axis=1)
+    assert cat.shape[0] == n and np.isfinite(cat).all()
+    print(f"\narxiv-scale PreStep: spectral {t_spec:.0f}s, "
+          f"concat dim {cat.shape[1]}")
