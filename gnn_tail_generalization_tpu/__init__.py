@@ -49,3 +49,29 @@ def _disable_numpy_thp_madvise():
 
 
 _disable_numpy_thp_madvise()
+
+
+def _enable_jax_compilation_cache():
+    """Persistent JAX compilation cache (``~/.cache/jax-gnn-tpu``).
+
+    The tunneled TPU backend compiles REMOTELY and a heavy program (the
+    scanned LP epoch, the vmapped multi-seed step) can take many minutes
+    per fresh process; the persistent cache turns every re-run into a
+    disk load. Programs cheaper than 1 s skip the cache (write cost).
+    Harmless on CPU; disable with GNN_TPU_NO_COMPILE_CACHE=1."""
+    import os
+
+    if os.environ.get("GNN_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        path = os.path.expanduser("~/.cache/jax-gnn-tpu")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - config may move across versions
+        pass
+
+
+_enable_jax_compilation_cache()
