@@ -156,17 +156,18 @@ def choose_plan_rb(receivers: np.ndarray, n_node: int,
     distribution. E_pad = sum_b ceil(edges_b/eb)*eb depends strongly on rb
     when the mean edges-per-block sits near eb (ogbl-citation2: rb=128 pads
     54%, rb=192 pads 15%); the kernel's MXU work grows linearly with rb.
-    Cost model (v5e, measured round 4): gather ~7.2 ns/padded row at
-    GB-scale tables, segment-matmul ~2.1 ns/row at rb=128 and d=256,
-    scaling with rb. All candidates keep the 8-sublane tiling rule
-    (rb % 8 == 0)."""
+    Cost model (v5e, re-measured round 5 after the 1024-multiple gather
+    fix): gather ~4.8 ns/padded row at GB-scale tables (207 Mrow/s),
+    segment-matmul ~1.6 ns/row at rb=128 and d=256 (2.49 us/chunk at
+    rb=192), scaling with rb. All candidates keep the 8-sublane tiling
+    rule (rb % 8 == 0)."""
     r = np.asarray(receivers)
     best_rb, best_cost = candidates[0], np.inf
     for rb in candidates:
         nb = (n_node + rb - 1) // rb
         counts = np.bincount(r // rb, minlength=nb)
         e_pad = int(np.maximum((counts + eb - 1) // eb, 1).sum()) * eb
-        cost = e_pad * (7.2 + 2.1 * rb / 128)
+        cost = e_pad * (4.8 + 1.65 * rb / 128)
         if cost < best_cost:
             best_rb, best_cost = rb, cost
     return best_rb
