@@ -63,6 +63,10 @@ def _load():
     lib.segment_matmul_plan.argtypes = [
         i64p, i64p, f32p, c64, c64, c64, c64, i32p, i32p, f32p, i32p, i32p
     ]
+    lib.segment_matmul_plan_v2.argtypes = [
+        i64p, i64p, f32p, c64, c64, c64, c64, c64, i32p, i32p, f32p, i32p,
+        i32p
+    ]
     lib.ring_max_bucket.argtypes = [i64p, i64p, c64, c64, c64]
     lib.ring_max_bucket.restype = c64
     lib.ring_buckets.argtypes = [
@@ -100,9 +104,12 @@ def sort_edges_csr(receivers: np.ndarray, n_node: int):
 
 def segment_matmul_plan_arrays(senders_sorted, receivers_sorted,
                                weights_sorted, n_node: int, rb: int,
-                               eb: int):
+                               eb: int, stripe_mod: int | None = None):
     """Native chunk layout; returns (senders, dst_local, w, block_of_chunk,
-    first_of_block, n_chunks) or None when the library is unavailable."""
+    first_of_block, n_chunks) or None when the library is unavailable.
+    ``stripe_mod``: range of the striped pad senders — defaults to
+    ``n_node``; pass the gather-table row count when the plan gathers
+    from a side table (halo buffers, parallel/hier.py)."""
     lib = _load()
     if lib is None:
         return None
@@ -110,6 +117,7 @@ def segment_matmul_plan_arrays(senders_sorted, receivers_sorted,
     r = np.ascontiguousarray(receivers_sorted, np.int64)
     w = np.ascontiguousarray(weights_sorted, np.float32)
     n_edge = len(s)
+    sm = n_node if stripe_mod is None else int(stripe_mod)
     n_chunks = int(lib.plan_num_chunks(r, n_edge, n_node, rb, eb))
     # +8 striped tail slots: a gather whose row count is an exact
     # multiple of 1024 runs at HALF the emitter rate (v5e, measured —
@@ -120,12 +128,12 @@ def segment_matmul_plan_arrays(senders_sorted, receivers_sorted,
     out_w = np.zeros(n_chunks * eb, np.float32)
     out_b = np.zeros(n_chunks, np.int32)
     out_f = np.zeros(n_chunks, np.int32)
-    lib.segment_matmul_plan(s, r, w, n_edge, n_node, rb, eb,
-                            out_s, out_d, out_w, out_b, out_f)
+    lib.segment_matmul_plan_v2(s, r, w, n_edge, n_node, rb, eb, sm,
+                               out_s, out_d, out_w, out_b, out_f)
     base = n_chunks * eb
     out_s[base:] = ((np.arange(base, base + tail, dtype=np.uint64)
                      * np.uint64(2654435761))
-                    % np.uint64(n_node)).astype(np.int32)
+                    % np.uint64(sm)).astype(np.int32)
     return out_s, out_d, out_w, out_b, out_f, n_chunks
 
 

@@ -61,13 +61,18 @@ int64_t plan_num_chunks(const int64_t* receivers_sorted, int64_t n_edge,
 // serialize the XLA gather emitter (constant-index gathers measured 52
 // vs 86 Mrow/s at ogbl-citation2 scale, RESULTS.md round 4), so pads
 // must spread across the table like real edges do.
-void segment_matmul_plan(const int64_t* senders_sorted,
-                         const int64_t* receivers_sorted,
-                         const float* weights_sorted, int64_t n_edge,
-                         int64_t n_node, int64_t rb, int64_t eb,
-                         int32_t* out_senders, int32_t* out_dst_local,
-                         float* out_w, int32_t* out_block_of_chunk,
-                         int32_t* out_first_of_block) {
+void segment_matmul_plan_v2(const int64_t* senders_sorted,
+                            const int64_t* receivers_sorted,
+                            const float* weights_sorted, int64_t n_edge,
+                            int64_t n_node, int64_t rb, int64_t eb,
+                            int64_t stripe_mod, int32_t* out_senders,
+                            int32_t* out_dst_local, float* out_w,
+                            int32_t* out_block_of_chunk,
+                            int32_t* out_first_of_block) {
+  // stripe_mod: range of the striped PAD sender indices. Equals n_node
+  // when the gather table is the node table; smaller when the plan
+  // gathers from a compacted side table (e.g. a cross-host halo buffer,
+  // parallel/hier.py) whose row count is less than the output rows.
   int64_t n_blocks = (n_node + rb - 1) / rb;
   std::vector<int64_t> counts(n_blocks, 0);
   for (int64_t i = 0; i < n_edge; ++i) counts[receivers_sorted[i] / rb]++;
@@ -101,13 +106,27 @@ void segment_matmul_plan(const int64_t* senders_sorted,
       for (int64_t j = m; j < eb; ++j) {
         out_senders[base + j] =
             (int32_t)(((uint64_t)(base + j) * 2654435761ULL) %
-                      (uint64_t)n_node);
+                      (uint64_t)stripe_mod);
       }
       out_block_of_chunk[ci] = (int32_t)b;
       out_first_of_block[ci] = (k == 0) ? 1 : 0;
     }
     edge += counts[b];
   }
+}
+
+// Back-compat wrapper: stripe range == node table.
+void segment_matmul_plan(const int64_t* senders_sorted,
+                         const int64_t* receivers_sorted,
+                         const float* weights_sorted, int64_t n_edge,
+                         int64_t n_node, int64_t rb, int64_t eb,
+                         int32_t* out_senders, int32_t* out_dst_local,
+                         float* out_w, int32_t* out_block_of_chunk,
+                         int32_t* out_first_of_block) {
+  segment_matmul_plan_v2(senders_sorted, receivers_sorted, weights_sorted,
+                         n_edge, n_node, rb, eb, n_node, out_senders,
+                         out_dst_local, out_w, out_block_of_chunk,
+                         out_first_of_block);
 }
 
 // Max bucket size over the (dst_shard, src_shard) grid.

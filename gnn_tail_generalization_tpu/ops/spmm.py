@@ -67,6 +67,7 @@ def _spmm_dense(dense_adj, x, precision):
 
 def _spmm_impl(g: Graph, x, method: str, precision):
     from ..parallel.distgraph import DistGraph, dist_spmm
+    from ..parallel.hier import HierGraph, hier_spmm
 
     if isinstance(g, DistGraph):
         # sharded path: ring-streamed shard_map SpMM (scatter-free when the
@@ -74,6 +75,11 @@ def _spmm_impl(g: Graph, x, method: str, precision):
         # model layer — GCNConv calls spmm() identically on a mesh.
         dtype = jnp.bfloat16 if method == "pallas_bf16" else jnp.float32
         return dist_spmm(g, x, compute_dtype=dtype)
+    if isinstance(g, HierGraph):
+        # two-level (host x chip) path: ICI ring within hosts, halo-only
+        # DCN exchange across hosts (parallel/hier.py)
+        dtype = jnp.bfloat16 if method == "pallas_bf16" else jnp.float32
+        return hier_spmm(g, x, compute_dtype=dtype)
     if method == "auto":
         # dense MXU matmul for small graphs; the Pallas scatter-free kernel
         # when a plan was built (~2x over XLA's scatter on TPU); sorted

@@ -181,6 +181,7 @@ def build_plan(
     rb: int = 128,
     eb: int = 1024,
     max_gather_rows: Optional[int] = -1,
+    stripe_mod: Optional[int] = None,
 ) -> SegmentMatmulPlan:
     """Edges MUST be sorted by receiver. Pads each row block's edge list to a
     multiple of eb.
@@ -194,9 +195,15 @@ def build_plan(
     ``max_gather_rows``: plans above this padded edge count get static
     piece boundaries; spmm_via_plan then gathers + reduces piece by piece
     so the materialized [E_pad, 128] stream never exceeds the HBM budget
-    (at ogbl-citation2 scale one unsplit gather is 24 GB)."""
+    (at ogbl-citation2 scale one unsplit gather is 24 GB).
+
+    ``stripe_mod``: range of the striped pad/tail senders — defaults to
+    ``n_node``. Pass the gather-table row count when senders index a
+    SIDE table whose size differs from the output row space (cross-host
+    halo buffers, parallel/hier.py)."""
     if max_gather_rows == -1:  # resolve at call time (testable)
         max_gather_rows = DEFAULT_MAX_GATHER_ROWS
+    sm = n_node if stripe_mod is None else int(stripe_mod)
     s = np.asarray(senders_sorted, np.int64)
     r = np.asarray(receivers_sorted, np.int64)
     w = (np.ones(len(s), np.float32) if weights is None
@@ -208,7 +215,8 @@ def build_plan(
     # native (C++) fast path for the chunk layout
     from .. import native as _native
 
-    nat = _native.segment_matmul_plan_arrays(s, r, w, n_node, rb, eb)
+    nat = _native.segment_matmul_plan_arrays(s, r, w, n_node, rb, eb,
+                                             stripe_mod=sm)
     if nat is not None:
         out_s, out_d, out_w, out_b, out_f, n_chunks = nat
         pb, pbb = _piece_split(out_b, n_chunks, n_blocks, eb,
@@ -241,7 +249,7 @@ def build_plan(
     # extra striped slots (1024-multiple penalty, see constant above).
     senders_flat = ((np.arange(n_chunks * eb + GATHER_TAIL_PAD,
                                dtype=np.uint64) *
-                     np.uint64(2654435761)) % np.uint64(n_node)).astype(
+                     np.uint64(2654435761)) % np.uint64(sm)).astype(
         np.int32)
     senders = senders_flat[: n_chunks * eb].reshape(n_chunks, eb)
     dst_local = np.zeros((n_chunks, eb), np.int32)

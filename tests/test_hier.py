@@ -1,0 +1,108 @@
+"""Hierarchical (host x chip) SpMM: halo-only DCN exchange (8 CPU devs).
+
+parallel/hier.py — the 2-host topology RESULTS.md round 5 identifies as
+the bandwidth-correct alternative to the flat DCN-crossing ring.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gnn_tail_generalization_tpu.parallel import hier
+
+
+def _mesh(h, c):
+    return jax.make_mesh((h, c), ("host", "chip"),
+                         devices=jax.devices()[: h * c])
+
+
+def _random_graph(rng, n=96, e=600):
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.normal(size=e).astype(np.float32)
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (dst, src), w)
+    return np.stack([src, dst]), w, dense
+
+
+@pytest.mark.parametrize("h,c", [(2, 4), (4, 2), (2, 2), (1, 4), (8, 1)])
+def test_hier_spmm_matches_dense(rng, h, c):
+    mesh = _mesh(h, c)
+    e, w, dense = _random_graph(rng)
+    hg = hier.build_hier_graph(e, 96, mesh, edge_weight=w, rb=4, eb=32)
+    assert hg.n_node_pad == 96
+    x = rng.normal(size=(96, 48)).astype(np.float32)
+    y = hier.hier_spmm(hg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_hier_spmm_grad_via_spmm_entry(rng):
+    """ops.spmm.spmm dispatches HierGraph; the custom VJP must route the
+    transposed two-level exchange (dx = A^T dy)."""
+    from gnn_tail_generalization_tpu.ops.spmm import spmm
+
+    mesh = _mesh(2, 4)
+    e, w, dense = _random_graph(rng, e=500)
+    hg = hier.build_hier_graph(e, 96, mesh, edge_weight=w, rb=4, eb=32)
+    x = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+    ct = jnp.asarray(rng.normal(size=(96, 32)).astype(np.float32))
+
+    y, vjp = jax.vjp(lambda x_: spmm(hg, x_), x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=1e-4, atol=1e-4)
+    (dx,) = vjp(ct)
+    np.testing.assert_allclose(np.asarray(dx),
+                               dense.T @ np.asarray(ct),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_hier_matches_flat_distgraph(rng):
+    """Same numerics as the flat 1-D ring on the same 8-way partition
+    (host-major shard order makes the partitions identical)."""
+    from gnn_tail_generalization_tpu.parallel import distgraph as dgm
+
+    e, w, dense = _random_graph(rng, n=128, e=800)
+    mesh_h = _mesh(2, 4)
+    hg = hier.build_hier_graph(e, 128, mesh_h, edge_weight=w, rb=4, eb=32)
+    mesh_f = jax.make_mesh((8,), ("graph",), devices=jax.devices()[:8])
+    dg = dgm.build_dist_graph(e, 128, mesh_f, edge_weight=w, rb=4, eb=32)
+    assert hg.n_node_pad == dg.n_node_pad
+    x = rng.normal(size=(hg.n_node_pad, 16)).astype(np.float32)
+    y1 = hier.hier_spmm(hg, jnp.asarray(x))
+    y2 = dgm.dist_spmm(dg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-4,
+                               atol=1e-4)
+
+
+def test_hier_comm_stats_halo_smaller_than_flat(rng):
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph,
+    )
+    from gnn_tail_generalization_tpu.graph.core import symmetrize
+
+    n = 4096
+    e = symmetrize(fast_powerlaw_graph(n, 16_000, 5), n)
+    mesh = _mesh(2, 4)
+    hg = hier.build_hier_graph(e, n, mesh, rb=4, eb=32)
+    st = hier.hier_comm_stats(hg)
+    assert st["dcn_rows_halo_unpadded"] <= st["dcn_rows_padded"]
+    # the halo must beat streaming every block across the DCN-paced ring
+    assert st["flat_over_hier_dcn"] > 1.5, st
+    # numerics on the power-law graph too
+    x = rng.normal(size=(hg.n_node_pad, 16)).astype(np.float32)
+    dense = np.zeros((hg.n_node_pad, hg.n_node_pad), np.float32)
+    np.add.at(dense, (e[1], e[0]), 1.0)
+    y = hier.hier_spmm(hg, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=1e-3,
+                               atol=1e-3)
+
+
+def test_hier_bf16_path(rng):
+    mesh = _mesh(2, 2)
+    e, w, dense = _random_graph(rng, n=64, e=400)
+    hg = hier.build_hier_graph(e, 64, mesh, edge_weight=w, rb=4, eb=32)
+    x = rng.normal(size=(64, 24)).astype(np.float32)
+    y = hier.hier_spmm(hg, jnp.asarray(x), compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=3e-2,
+                               atol=3e-2)
