@@ -180,6 +180,73 @@ def prepare_sharded(data: NodeData, cfg: Config, mesh, *,
     )
 
 
+def prepare_hier(data: NodeData, cfg: Config, mesh, *,
+                 host_axis: str = "host", chip_axis: str = "chip",
+                 rb: int = 128, eb: int = 1024) -> PreparedData:
+    """Two-level (host x chip) variant of ``prepare_sharded``: the graph
+    becomes a parallel.hier.HierGraph (ICI ring within hosts, halo-only
+    DCN exchange across hosts) and x/y/masks are padded + row-sharded
+    over BOTH mesh axes. Feeds train_teacher unchanged via the spmm
+    dispatch. Graph-dropout tricks need the DistGraph edge view — not
+    supported on the hier path."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.distgraph import global_put, pad_rows_np
+    from ..parallel.hier import build_hier_graph
+
+    assert not cfg.apply_graph_dropout, (
+        "graph-dropout tricks need the DistGraph edge view; use "
+        "prepare_sharded for dropout-trick runs")
+    n = data.x.shape[0]
+    data = apply_special_split(data, cfg)
+    e = standard_pipeline(data.edge_index, n)
+    test_mask = (
+        data.test_mask if data.test_mask is not None else ~data.train_mask
+    )
+    splits = None
+    e_crafted = e
+    if cfg.do_deg_analyze:
+        splits = analysis.degree_splits(n, e, cfg.use_special_split)
+        if cfg.use_special_split:
+            e_crafted, _ = analysis.craft_isolation(e, splits.zero_deg_mask)
+
+    hg = build_hier_graph(e_crafted, n, mesh, host_axis=host_axis,
+                          chip_axis=chip_axis, rb=rb, eb=eb)
+    npad = hg.n_node_pad
+    sh_m = NamedSharding(mesh, P((host_axis, chip_axis), None))
+    sh_v = NamedSharding(mesh, P((host_axis, chip_axis),))
+
+    def put_rows(a, sharding):
+        return global_put(pad_rows_np(np.asarray(a), npad), sharding)
+
+    if splits is not None:
+        splits = dataclasses.replace(
+            splits,
+            large_deg_mask=put_rows(splits.large_deg_mask, sh_v),
+            small_deg_mask=put_rows(splits.small_deg_mask, sh_v),
+            zero_deg_mask=(
+                None if splits.zero_deg_mask is None
+                else put_rows(splits.zero_deg_mask, sh_v)
+            ),
+        )
+
+    return PreparedData(
+        x=put_rows(np.asarray(data.x, np.float32), sh_m),
+        y=put_rows(np.asarray(data.y, np.int64), sh_v),
+        edge_index=e_crafted,
+        edge_index_bkup=e,
+        train_mask=put_rows(data.train_mask, sh_v),
+        val_mask=(None if data.val_mask is None
+                  else put_rows(data.val_mask, sh_v)),
+        test_mask=put_rows(test_mask, sh_v),
+        train_idx=np.where(np.asarray(data.train_mask))[0],
+        test_idx=np.where(np.asarray(test_mask))[0],
+        splits=splits,
+        graph=hg,
+    )
+
+
 def load_dataset(cfg: Config, data_root: Optional[str] = None,
                  which_run: int = 0) -> NodeData:
     """Registry mirroring load_data/load_ogbn

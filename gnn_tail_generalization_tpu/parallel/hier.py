@@ -169,7 +169,7 @@ class HierGraph:
     host_axis: str = "host"
     chip_axis: str = "chip"
     #: total unpadded cross-host halo rows per SpMM (the DCN volume's
-    #: information content; padded volume = (H-1)*H? no — see
+    #: information content; the padded/actual volume is in
     #: hier_comm_stats)
     dcn_rows: int = 0
 
@@ -432,3 +432,21 @@ def hier_comm_stats(g: HierGraph, d_feat: int = 128,
         "flat_over_hier_dcn": float(
             flat_ring_rows / max(pairs * g.u_max, 1)),
     }
+
+
+def shard_params_hier(g: HierGraph, params):
+    """Canonical teacher parameter shardings on a (host, chip) mesh: SE
+    tables (name 'se') row-sharded over BOTH axes (matching the
+    n_node_pad row partition), everything else replicated — the 2-level
+    analog of distgraph.shard_params."""
+    mesh = g.mesh
+    row = NamedSharding(mesh, P((g.host_axis, g.chip_axis),))
+    rep = NamedSharding(mesh, P())
+
+    def spec(path, leaf):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if any(n == "se" for n in names):
+            return jax.device_put(leaf, row)
+        return jax.device_put(leaf, rep)
+
+    return jax.tree_util.tree_map_with_path(spec, params)

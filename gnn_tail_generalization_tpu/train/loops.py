@@ -100,6 +100,12 @@ def final_agg_view(cfg: Config, data: PreparedData, *, is_dist: bool):
             and not cfg.has_loss_component_edgewise
             and not cfg.apply_graph_dropout):
         return None
+    from ..parallel.hier import HierGraph
+
+    if isinstance(data.graph, HierGraph):
+        # no hier sub-view builder yet: skip the optimization (loss and
+        # gradients are identical either way — it is purely a perf view)
+        return None
     from ..nn.norms import norm_applies
 
     if norm_applies(cfg.type_trick):
@@ -144,9 +150,11 @@ def train_teacher(
     # partitioned by GSPMD from the input shardings. SE tables must span
     # the padded row count.
     from ..parallel.distgraph import DistGraph
+    from ..parallel.hier import HierGraph
 
     dist_mesh = None
-    if isinstance(data.graph, DistGraph):
+    is_hier = isinstance(data.graph, HierGraph)
+    if isinstance(data.graph, DistGraph) or is_hier:
         dist_mesh = data.graph.mesh
         if cfg.N_nodes != data.graph.n_node_pad:
             cfg = dataclasses.replace(cfg, N_nodes=data.graph.n_node_pad)
@@ -196,10 +204,15 @@ def train_teacher(
     params = variables["params"]
     batch_stats = variables.get("batch_stats")
     if dist_mesh is not None:
-        from ..parallel.distgraph import shard_params
+        if is_hier:
+            from ..parallel.hier import shard_params_hier
 
-        params = shard_params(dist_mesh, params, data.graph.axis,
-                              data.graph.model_axis)
+            params = shard_params_hier(data.graph, params)
+        else:
+            from ..parallel.distgraph import shard_params
+
+            params = shard_params(dist_mesh, params, data.graph.axis,
+                                  data.graph.model_axis)
         npad, nreal = data.graph.n_node_pad, data.graph.n_node
         if npad > nreal:
             # zero the SE padding rows: ||E||_F and its gradients then match

@@ -256,8 +256,11 @@ def test_golden_protocol_dryrun_arxiv_best_config(tmp_path_factory):
     write_fake_ogbn_arxiv_raw(str(root))
     t_write = time.time() - t0
 
+    # gather SpMM: interpret-mode Pallas at 169k nodes x 50 epochs is
+    # hours on CPU; the Pallas path has its own TPU-faithful tests
     cfg = build_config(dataset="ogbn-arxiv", train_which="TeacherGNN",
-                       force_set_to_best_config=True, epochs=50)
+                       force_set_to_best_config=True, epochs=50,
+                       spmm_method="gather")
     t0 = time.time()
     data = load_dataset(cfg, str(root))
     t_load = time.time() - t0

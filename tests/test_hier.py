@@ -106,3 +106,47 @@ def test_hier_bf16_path(rng):
     y = hier.hier_spmm(hg, jnp.asarray(x), compute_dtype=jnp.bfloat16)
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=3e-2,
                                atol=3e-2)
+
+
+def test_full_teacher_trains_on_hier_mesh_matches_single_device(rng):
+    """The REAL TricksComb teacher (residual trick, SE, Adam, head/tail
+    eval) trains on a (2, 4) host x chip mesh via prepare_hier; records
+    match the single-device run (the hier path skips the loss-masked
+    final-layer view — gradients are identical either way)."""
+    import dataclasses
+
+    from gnn_tail_generalization_tpu.config import (
+        apply_arch_configs, build_config,
+    )
+    from gnn_tail_generalization_tpu.data.datasets import (
+        NodeData, prepare, prepare_hier,
+    )
+    from gnn_tail_generalization_tpu.data.synthetic import (
+        fast_powerlaw_graph, synthetic_features_labels,
+    )
+    from gnn_tail_generalization_tpu.train import loops
+
+    n, n_feat, n_class = 96, 24, 4
+    cfg = build_config(dataset="Cora", train_which="TeacherGNN",
+                       whetherHasSE="100", se_reg=0.5)
+    cfg = dataclasses.replace(
+        cfg, N_nodes=n, num_feats=n_feat, num_classes=n_class,
+        dim_hidden=16, type_trick="Residual", use_special_split=True,
+        dropout=0.0,
+    )
+    cfg = apply_arch_configs(cfg)
+    x, y = synthetic_features_labels(n, n_feat, n_class, 0)
+    train = np.zeros(n, bool)
+    train[: n // 2] = True
+    data = NodeData(x=x, y=y,
+                    edge_index=fast_powerlaw_graph(n, n * 4, 0),
+                    train_mask=train, val_mask=None, test_mask=~train,
+                    name="hier-test")
+    mesh = _mesh(2, 4)
+    pd_h = prepare_hier(data, cfg, mesh, rb=4, eb=32)
+    res_h = loops.train_teacher(cfg, pd_h, seed=0, epochs=3)
+    pd_s = prepare(data, cfg)
+    res_s = loops.train_teacher(cfg, pd_s, seed=0, epochs=3)
+    assert np.isfinite(res_h.records).all()
+    np.testing.assert_allclose(res_h.records, res_s.records, rtol=1e-4,
+                               atol=1e-4)
