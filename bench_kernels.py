@@ -5,7 +5,8 @@ Compares SpMM implementations at ogbn-arxiv scale:
   - pallas f32: 128-lane sliced gather + segment-matmul kernel
   - pallas bf16 packed: bit-packed pair gather (ops/spmm_pallas.py)
 and reports effective HBM bandwidth against the measured gather-emitter
-envelope (~320 Mrow/s / 327 GB/s r+w at 512B rows) and the 819 GB/s v5e
+envelope (~420 Mrow/s at this 169k-row table, ~207 at GB tables — both
+off the 1024-multiple cliff, RESULTS.md round 5) and the 819 GB/s v5e
 peak, so the headline is roofline-honest rather than only vs the in-repo
 naive path. Forward-only and forward+backward. Timing syncs via host
 readback (block_until_ready is unreliable on the tunneled backend).
@@ -18,7 +19,10 @@ import jax
 import jax.numpy as jnp
 
 HBM_PEAK_GBS = 819.0  # v5e
-EMITTER_MROWS = 320.0  # measured row-gather cap at <=512B/128-lane rows
+# measured row-gather cap at <=512B/128-lane rows and THIS table size
+# (169k rows ~ 420 Mrow/s off the 1024-multiple cliff, RESULTS.md round
+# 5; GB-scale tables run ~207)
+EMITTER_MROWS = 420.0
 
 
 def sync(x):

@@ -155,9 +155,13 @@ def _run_teacher_dryrun(root, dataset, n_node, n_feat, **over):
     )
     from gnn_tail_generalization_tpu.train import loops
 
+    # gather SpMM above the dense threshold: interpret-mode Pallas on the
+    # CPU gate is ~100x slow at Pubmed size (the Pallas path has its own
+    # TPU-faithful tests); Cora/Citeseer stay on the dense-MXU path
     cfg = build_config(dataset=dataset, train_which="TeacherGNN",
                        want_headtail=True, num_layers=2,
-                       use_special_split=True, **over)
+                       use_special_split=True, spmm_method="gather",
+                       **over)
     data = load_dataset(cfg, root)
     assert data.name == dataset and data.x.shape == (n_node, n_feat)
     pd = prepare(data, cfg)
