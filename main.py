@@ -50,17 +50,24 @@ def parse_args():
                         help="devices in the 1-D ('graph',) mesh; >1 row-"
                              "shards the graph (DistGraph ring SpMM) and "
                              "trains the full teacher across chips")
+    parser.add_argument("--hier_mesh", type=str, default=None,
+                        help="HxC (e.g. 2x4): hierarchical (host, chip) "
+                             "mesh — ICI ring within hosts, halo-only "
+                             "DCN exchange across hosts "
+                             "(parallel/hier.py). TeacherGNN only.")
     ns = parser.parse_args()
     overrides = {
         k: v for k, v in vars(ns).items()
         if v is not None and k not in ("data_root", "log_every",
-                                       "epoch_block", "n_devices")
+                                       "epoch_block", "n_devices",
+                                       "hier_mesh")
     }
     # cast int-encoded bools back
     for f in dataclasses.fields(Config):
         if f.name in overrides and isinstance(f.default, bool):
             overrides[f.name] = bool(overrides[f.name])
-    return overrides, ns.data_root, ns.log_every, ns.epoch_block, ns.n_devices
+    return (overrides, ns.data_root, ns.log_every, ns.epoch_block,
+            ns.n_devices, ns.hier_mesh)
 
 
 def run_i2gtl(cfg, data_root, log_every):
@@ -103,7 +110,8 @@ def main():
     from gnn_tail_generalization_tpu.data.datasets import load_dataset, prepare
     from gnn_tail_generalization_tpu.train import loops
 
-    overrides, data_root, log_every, epoch_block, n_devices = parse_args()
+    (overrides, data_root, log_every, epoch_block, n_devices,
+     hier_mesh) = parse_args()
     cfg = build_config(**overrides)
     if epoch_block == 0:
         # auto: records are bitwise-identical across block sizes, so
@@ -152,7 +160,20 @@ def main():
         )
         from gnn_tail_generalization_tpu.config import apply_arch_configs
         cfg = apply_arch_configs(cfg)
-    if n_devices > 1:
+    if hier_mesh:
+        # two-level (host x chip) mesh: ICI ring within hosts, halo-only
+        # DCN exchange across hosts (parallel/hier.py)
+        import jax
+
+        from gnn_tail_generalization_tpu.data.datasets import prepare_hier
+
+        h, c = (int(v) for v in hier_mesh.lower().split("x"))
+        assert cfg.train_which == "TeacherGNN", (
+            "--hier_mesh currently trains the TeacherGNN")
+        assert h * c <= len(jax.devices()), (h, c, len(jax.devices()))
+        mesh = jax.make_mesh((h, c), ("host", "chip"))
+        pd = prepare_hier(data, cfg, mesh)
+    elif n_devices > 1:
         # multi-chip: 1-D ('graph',) mesh, DistGraph ring SpMM — the full
         # teacher (tricks/norms/SE/Adam/eval) runs sharded via train_teacher
         import jax
@@ -176,7 +197,7 @@ def main():
 
     all_records = []
     if (cfg.train_which == "TeacherGNN" and cfg.N_exp > 1
-            and n_devices == 1):
+            and n_devices == 1 and not hier_mesh):
         # vmapped population training: all seeds in one compiled step
         from gnn_tail_generalization_tpu.train.multiseed import (
             train_teacher_multiseed,

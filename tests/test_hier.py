@@ -150,3 +150,55 @@ def test_full_teacher_trains_on_hier_mesh_matches_single_device(rng):
     assert np.isfinite(res_h.records).all()
     np.testing.assert_allclose(res_h.records, res_s.records, rtol=1e-4,
                                atol=1e-4)
+
+
+def test_hier_plans_pass_tpu_faithful_interpreter(rng):
+    """Every hier plan family (intra bucket + cross halo) runs under the
+    TPU-faithful Pallas interpreter (real revisit semantics, unlike
+    interpret=True) — real-silicon multi-host runs are impossible in this
+    image, so this is the strongest available correctness net for the
+    Mosaic programs a pod would execute. Verifies numerics against a
+    host reference for both."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from gnn_tail_generalization_tpu.ops import spmm_pallas as sp
+
+    mesh = _mesh(2, 2)
+    e, w, _ = _random_graph(rng, n=64, e=500)
+    hg = hier.build_hier_graph(e, 64, mesh, edge_weight=w, rb=8, eb=32)
+    rows, n_blocks = hg.rows, hg.rows // hg.rb
+    x = rng.normal(size=(64, 16)).astype(np.float32)
+
+    def run_plan(sarr, darr, warr, barr, farr, q, table):
+        p = sp.SegmentMatmulPlan(
+            senders=jnp.asarray(sarr), dst_local=jnp.asarray(darr),
+            weights=jnp.asarray(warr), block_of_chunk=jnp.asarray(barr),
+            first_of_block=jnp.asarray(farr), n_node=rows,
+            n_blocks=n_blocks, n_chunks=q, rb=hg.rb, eb=hg.eb,
+        )
+        return np.asarray(
+            sp.spmm_via_plan(p, jnp.asarray(table),
+                             interpret=pltpu.InterpretParams()))
+
+    # intra bucket (h=0, k=0, j=1): dst shard 0, src shard 1 of host 0
+    ib = [np.asarray(a) for a in
+          (hg.ib_s, hg.ib_d, hg.ib_w, hg.ib_blk, hg.ib_first)]
+    y = run_plan(ib[0][0, 0, 1], ib[1][0, 0, 1], ib[2][0, 0, 1],
+                 ib[3][0, 0, 1], ib[4][0, 0, 1], hg.qi, x[rows:2 * rows])
+    ref = np.zeros((rows, 16), np.float32)
+    m = ((e[1] // rows == 0) & (e[0] // rows == 1))
+    np.add.at(ref, (e[1][m],), w[m, None] * x[e[0][m]])
+    np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-4)
+
+    # cross plan (h=0, t=1, k=0): src host 1 halo -> dst shard (0, 0)
+    cpl = [np.asarray(a) for a in
+           (hg.cp_s, hg.cp_d, hg.cp_w, hg.cp_blk, hg.cp_first)]
+    hidx = np.asarray(hg.halo_idx)  # [H, T, u_max] host-local
+    # host 1 sends at t=1 to host (1-1)%2 = 0
+    halo = x[2 * rows:][hidx[1, 0]]  # host 1's rows, host-local ids
+    y2 = run_plan(cpl[0][0, 0, 0], cpl[1][0, 0, 0], cpl[2][0, 0, 0],
+                  cpl[3][0, 0, 0], cpl[4][0, 0, 0], hg.qc, halo)
+    ref2 = np.zeros((rows, 16), np.float32)
+    m2 = ((e[1] // rows == 0) & (e[0] // (2 * rows) == 1))
+    np.add.at(ref2, (e[1][m2],), w[m2, None] * x[e[0][m2]])
+    np.testing.assert_allclose(y2, ref2, rtol=1e-4, atol=1e-4)
