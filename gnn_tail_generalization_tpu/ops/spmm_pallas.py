@@ -151,21 +151,28 @@ def _piece_split(boc_host: np.ndarray, n_chunks: int, n_blocks: int,
 
 
 def choose_plan_rb(receivers: np.ndarray, n_node: int,
-                   candidates=(128, 192, 256, 384), eb: int = 1024) -> int:
+                   candidates=tuple(range(128, 289, 8)),
+                   eb: int = 1024) -> int:
     """Pick the row-block size minimizing modeled SpMM time for THIS degree
     distribution. E_pad = sum_b ceil(edges_b/eb)*eb depends strongly on rb
     when the mean edges-per-block sits near eb (ogbl-citation2: rb=128 pads
-    54%, rb=192 pads 15%); the kernel's MXU work grows linearly with rb.
+    54%, rb=184 pads 12%); the kernel's MXU work grows linearly with rb.
     Cost model (v5e, re-measured round 5 after the 1024-multiple gather
     fix): gather ~4.8 ns/padded row at GB-scale tables (207 Mrow/s),
-    segment-matmul ~1.6 ns/row at rb=128 and d=256 (2.49 us/chunk at
-    rb=192), scaling with rb. All candidates keep the 8-sublane tiling
-    rule (rb % 8 == 0)."""
-    r = np.asarray(receivers)
+    segment-matmul ~1.65 ns/row at rb=128 and d=256 (1.98-2.5 us/chunk at
+    rb=192 — scratch/probe_kernel_ceiling.py: the kernel beats XLA's own
+    batched matmul of the same shapes, so plan geometry is the only
+    lever), scaling with rb. All candidates keep the 8-sublane tiling
+    rule (rb % 8 == 0). One edge sort, then searchsorted per candidate —
+    the full default sweep costs one O(E log E) pass, not 21 bincounts."""
+    r = np.sort(np.asarray(receivers))
     best_rb, best_cost = candidates[0], np.inf
     for rb in candidates:
+        assert rb % 8 == 0, rb
         nb = (n_node + rb - 1) // rb
-        counts = np.bincount(r // rb, minlength=nb)
+        bounds = np.arange(1, nb, dtype=r.dtype) * rb
+        counts = np.diff(np.searchsorted(r, bounds, side="left"),
+                         prepend=0, append=len(r))
         e_pad = int(np.maximum((counts + eb - 1) // eb, 1).sum()) * eb
         cost = e_pad * (4.8 + 1.65 * rb / 128)
         if cost < best_cost:
